@@ -1,0 +1,3 @@
+from teal_tpu.models import llama
+
+__all__ = ["llama"]

@@ -1,0 +1,266 @@
+"""Functional Llama/Mistral transformer for activation-sparse inference.
+
+One model serves calibration, accuracy eval, and fast decode (the reference
+splits these across an HF-monkeypatch stack (`teal/model.py`) and a vendored
+gpt-fast fork (`gpt-fast/model.py`); here they are the same forward under
+different jit entry points).
+
+Design notes (TPU-first):
+  - Parameters are a pytree of *stacked* per-layer arrays (`[L, ...]`) and
+    the layer loop is a `lax.scan`, keeping compile time flat in depth.
+  - The KV cache is part of the scan carry and updated in place with
+    `dynamic_update_slice`; callers donate it for buffer reuse.
+  - Sparsity enters functionally: a `[L, 7]` threshold array (order
+    `config.PROJS`) and a static `SparsityConfig`. Thresholds are data, so
+    uniform vs. greedy (per-layer, per-projection) schedules need no
+    retracing.
+  - Norms, RoPE and softmax run in fp32; matmuls in the param dtype
+    (bf16 by default) with fp32 accumulation via `preferred_element_type`.
+  - RoPE uses the HF rotate-half convention so HF safetensors load without
+    the reference's un-permutation step
+    (`gpt-fast/scripts/convert_hf_checkpoint.py:75-81`).
+
+Capture mode returns the four TEAL hidden-state groups per layer
+(attn h1/h2, mlp h1/h2; reference `teal/self_attn.py:70-84,146-151`,
+`teal/mlp.py:43-48`) for histogram calibration.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from teal_tpu.config import ModelConfig, PROJS, SparsityConfig
+from teal_tpu.ops.sparsify import apply_sparsity
+from teal_tpu.ops import sparse_gemv
+
+
+class KVCache(NamedTuple):
+    """Static-shape decode cache. k/v: [L, B, n_kv_heads, max_seq, head_dim]."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @classmethod
+    def init(cls, cfg: ModelConfig, batch: int, max_seq: int,
+             dtype=jnp.bfloat16, n_kv_heads: Optional[int] = None):
+        hkv = cfg.n_kv_heads if n_kv_heads is None else n_kv_heads
+        shape = (cfg.n_layers, batch, hkv, max_seq, cfg.head_dim)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    @property
+    def max_seq(self) -> int:
+        return self.k.shape[3]
+
+
+def rms_norm(x, weight, eps: float):
+    xf = x.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * scale).astype(x.dtype) * weight.astype(x.dtype)
+
+
+def precompute_rope(cfg: ModelConfig, max_seq: int):
+    """cos/sin tables [max_seq, head_dim] (fp32), HF half-split convention."""
+    half = cfg.head_dim // 2
+    inv_freq = 1.0 / (
+        cfg.rope_base ** (jnp.arange(0, half, dtype=jnp.float32) / half)
+    )
+    t = jnp.arange(max_seq, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)                  # [S, half]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)  # [S, head_dim]
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x, cos, sin):
+    """x: [B, H, S, D]; cos/sin: [S, D] (already gathered at positions)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    xf = x.astype(jnp.float32)
+    rf = rotated.astype(jnp.float32)
+    return (xf * cos + rf * sin).astype(x.dtype)
+
+
+def _proj(x, w, thresh, sp: SparsityConfig, *, proj: str):
+    """One of the seven sparsifiable projections: sparsify then matmul.
+
+    Dispatch: the Pallas sparse-GEMV kernels take over for single-token
+    decode when `sp.kernel` selects them; otherwise (prefill, accuracy path)
+    this is a masked-dense matmul, matching reference semantics where
+    prefill is dense in the fast engine (`kernels/sparse_gemv.py:271`).
+    """
+    if sp.enabled and x.shape[-2] == 1 and sp.kernel != "masked_dense":
+        return sparse_gemv.sparse_matmul(x, w, thresh, sp)
+    xs = apply_sparsity(x, thresh, sp)
+    return jnp.matmul(xs, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _attention(q, k, v, pos, q_len: int, max_seq: int,
+               sliding_window: Optional[int]):
+    """Grouped-query attention over the full static cache.
+
+    q: [B, Hq, S, D]; k/v: [B, Hkv, T, D] (T = max_seq cache length).
+    `pos` is the index of the first query position. Invalid (future or
+    beyond-window) cache slots are masked out; GQA is computed by reshaping
+    q to [B, Hkv, G, S, D] so KV heads are never materialized G times
+    (unlike the reference's `repeat_interleave`, `gpt-fast/model.py:247-248`).
+    """
+    b, hq, s, d = q.shape
+    hkv = k.shape[1]
+    g = hq // hkv
+    q = q.reshape(b, hkv, g, s, d)
+    scale = 1.0 / (d ** 0.5)
+
+    scores = jnp.einsum(
+        "bkgsd,bktd->bkgst", q, k, preferred_element_type=jnp.float32
+    ) * scale
+
+    q_pos = pos + jnp.arange(s)[:, None]            # [S, 1]
+    t_pos = jnp.arange(max_seq)[None, :]            # [1, T]
+    valid = t_pos <= q_pos
+    if sliding_window is not None:
+        valid &= t_pos > q_pos - sliding_window
+    scores = jnp.where(valid[None, None, None], scores, -jnp.inf)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bkgst,bktd->bkgsd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, hq, s, d).astype(v.dtype)
+
+
+def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
+                  cfg: ModelConfig, sp: SparsityConfig, thresholds,
+                  capture: bool = False):
+    """One transformer block. h: [B, S, D]; kc/vc: [B, Hkv, T, Dh].
+
+    thresholds: [7] per-projection scalars (order `config.PROJS`).
+    Returns (h_out, kc, vc, captures|None).
+    """
+    b, s, d = h.shape
+    t = {p: thresholds[i] for i, p in enumerate(PROJS)}
+
+    # --- attention ---
+    x = rms_norm(h, lp["attn_norm"], cfg.norm_eps)          # attn h1
+    q = _proj(x, lp["wq"], t["q"], sp, proj="q")
+    k = _proj(x, lp["wk"], t["k"], sp, proj="k")
+    v = _proj(x, lp["wv"], t["v"], sp, proj="v")
+
+    q = q.reshape(b, s, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    hkv_local = kc.shape[1]
+    k = k.reshape(b, s, hkv_local, cfg.head_dim).transpose(0, 2, 1, 3)
+    v = v.reshape(b, s, hkv_local, cfg.head_dim).transpose(0, 2, 1, 3)
+
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, pos, 0))
+    vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, pos, 0))
+
+    attn = _attention(q, kc, vc, pos, s, kc.shape[2], cfg.sliding_window)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1)      # attn h2
+    h = h + _proj(attn, lp["wo"], t["o"], sp, proj="o")
+
+    # --- mlp ---
+    y = rms_norm(h, lp["mlp_norm"], cfg.norm_eps)            # mlp h1
+    gate = _proj(y, lp["wgate"], t["gate"], sp, proj="gate")
+    up = _proj(y, lp["wup"], t["up"], sp, proj="up")
+    inter = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+    # `inter` is mlp h2
+    h = h + _proj(inter, lp["wdown"], t["down"], sp, proj="down")
+
+    caps = None
+    if capture:
+        caps = {"self_attn": {"h1": x, "h2": attn},
+                "mlp": {"h1": y, "h2": inter}}
+    return h, kc, vc, caps
+
+
+def _layer_params_at(params, i):
+    return {k: params["layers"][k][i] for k in params["layers"]}
+
+
+def forward(params, tokens, cache: KVCache, pos, thresholds, *,
+            cfg: ModelConfig, sp: SparsityConfig,
+            return_hidden: bool = False):
+    """Full forward. tokens: [B, S] int32; pos: scalar start position.
+
+    Returns (logits [B, S, V] fp32, new_cache).
+    """
+    h = params["embed"][tokens].astype(params["layers"]["wq"].dtype)
+    s = tokens.shape[1]
+    cos_full, sin_full = precompute_rope(cfg, cache.max_seq)
+    cos = jax.lax.dynamic_slice_in_dim(cos_full, pos, s, axis=0)
+    sin = jax.lax.dynamic_slice_in_dim(sin_full, pos, s, axis=0)
+
+    def body(carry, xs):
+        h, kc_all, vc_all = carry
+        i, thresh_l = xs
+        lp = jax.tree.map(lambda a: a[i], params["layers"])
+        kc = kc_all[i]
+        vc = vc_all[i]
+        h, kc, vc, _ = layer_forward(
+            h, lp, kc, vc, pos, cos, sin, cfg, sp, thresh_l
+        )
+        kc_all = jax.lax.dynamic_update_slice_in_dim(
+            kc_all, kc[None], i, axis=0
+        )
+        vc_all = jax.lax.dynamic_update_slice_in_dim(
+            vc_all, vc[None], i, axis=0
+        )
+        return (h, kc_all, vc_all), None
+
+    idx = jnp.arange(cfg.n_layers)
+    (h, kc, vc), _ = jax.lax.scan(
+        body, (h, cache.k, cache.v), (idx, thresholds)
+    )
+
+    h = rms_norm(h, params["final_norm"], cfg.norm_eps)
+    if return_hidden:
+        return h, KVCache(kc, vc)
+    logits = jnp.matmul(
+        h, params["lm_head"], preferred_element_type=jnp.float32
+    )
+    return logits, KVCache(kc, vc)
+
+
+def zero_thresholds(cfg: ModelConfig):
+    return jnp.zeros((cfg.n_layers, len(PROJS)), dtype=jnp.float32)
+
+
+def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16):
+    """Random-init parameters (benchmarks/tests; real weights come from
+    `teal_tpu.utils.checkpoint`)."""
+    keys = jax.random.split(key, 4)
+
+    def w(k, shape, scale=0.02):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    L, D, I, KV, V = (cfg.n_layers, cfg.dim, cfg.intermediate_size,
+                      cfg.kv_dim, cfg.vocab_size)
+    lk = jax.random.split(keys[0], 7)
+    layers = {
+        "attn_norm": jnp.ones((L, D), dtype),
+        "mlp_norm": jnp.ones((L, D), dtype),
+        "wq": w(lk[0], (L, D, D)),
+        "wk": w(lk[1], (L, D, KV)),
+        "wv": w(lk[2], (L, D, KV)),
+        "wo": w(lk[3], (L, D, D)),
+        "wgate": w(lk[4], (L, D, I)),
+        "wup": w(lk[5], (L, D, I)),
+        "wdown": w(lk[6], (L, I, D)),
+    }
+    return {
+        "embed": w(keys[1], (V, D)),
+        "layers": layers,
+        "final_norm": jnp.ones((D,), dtype),
+        "lm_head": w(keys[2], (D, V)),
+    }
+
+
+def param_bytes(params) -> int:
+    return sum(a.size * a.dtype.itemsize for a in jax.tree.leaves(params))
