@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""End-of-round benchmark: single-chip sparse vs dense decode throughput.
+
+Measures batch-1 decode tokens/s on the flagship Llama-2-7B architecture
+(bf16, random-initialized — weight values don't affect memory-bound decode
+speed) dense vs block-sparse at 50% sparsity, replicating the reference's
+measurement protocol (tokens/s over a fixed decode run; bandwidth =
+non-embedding param bytes x tok/s, `gpt-fast/generate.py:493-506`).
+
+Timing is slope-based over two on-device scan lengths with fresh inputs per
+call (see teal_tpu.utils.bench_utils for why), immune to launch latency and
+runtime memoization.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline is measured speedup / 1.8 (the reference's published decode
+speedup at 50% sparsity, README.md:6,33).
+"""
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build(model_name: str, max_seq: int, dtype):
+    from teal_tpu.config import get_model_config
+    from teal_tpu.models import llama
+
+    cfg = get_model_config(model_name)
+    t0 = time.time()
+    params = jax.jit(
+        functools.partial(llama.init_params, cfg, dtype=dtype)
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    log(f"params built in {time.time()-t0:.1f}s "
+        f"({sum(a.size*a.dtype.itemsize for a in jax.tree.leaves(params))/1e9:.2f} GB)")
+    return cfg, params
+
+
+def decode_tps(cfg, params, sp, max_seq: int, n_short: int, n_long: int,
+               reps: int = 3) -> float:
+    """tokens/s from slope timing of an on-device greedy decode scan."""
+    from teal_tpu.models import llama
+    from teal_tpu.models.llama import KVCache
+
+    dtype = params["layers"]["wq"].dtype
+
+    def make(n):
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def run(params, cache, token, thresholds):
+            def body(carry, pos):
+                token, cache = carry
+                logits, cache = llama.forward(
+                    params, token[:, None], cache, pos, thresholds,
+                    cfg=cfg, sp=sp,
+                )
+                tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                return (tok, cache), ()
+
+            (token, cache), _ = jax.lax.scan(
+                body, (token, cache), jnp.arange(n, dtype=jnp.int32)
+            )
+            return token
+
+        return run
+
+    run_s, run_l = make(n_short), make(n_long)
+    th = jnp.zeros((cfg.n_layers, 7), jnp.float32)
+
+    def fresh(i):
+        cache = KVCache.init(cfg, 1, max_seq, dtype)
+        token = jnp.asarray([i % cfg.vocab_size], jnp.int32)
+        return cache, token
+
+    t0 = time.time()
+    jax.block_until_ready(run_s(params, *fresh(0), th))
+    jax.block_until_ready(run_l(params, *fresh(1), th))
+    log(f"compiled+warm in {time.time()-t0:.1f}s")
+
+    slopes = []
+    for r in range(reps):
+        cs, ts_ = fresh(2 + 2 * r)
+        t0 = time.perf_counter()
+        jax.block_until_ready(run_s(params, cs, ts_, th))
+        t1 = time.perf_counter()
+        cl, tl_ = fresh(3 + 2 * r)
+        jax.block_until_ready(run_l(params, cl, tl_, th))
+        t2 = time.perf_counter()
+        slopes.append(((t2 - t1) - (t1 - t0)) / (n_long - n_short))
+    slopes.sort()
+    per_tok = slopes[len(slopes) // 2]
+    return 1.0 / per_tok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="7B")
+    ap.add_argument("--sparsity", type=float, default=0.5)
+    ap.add_argument("--block-size", type=int, default=32)
+    ap.add_argument("--max-seq", type=int, default=256)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    from teal_tpu.config import SparsityConfig
+
+    n_short, n_long = (4, 16) if args.quick else (8, 64)
+    dtype = jnp.bfloat16
+
+    cfg, params = build(args.model, args.max_seq, dtype)
+    model_gb = sum(
+        cfg.proj_params(p) for p in ("q", "k", "v", "o", "gate", "up", "down")
+    ) * cfg.n_layers * 2 / 1e9
+
+    dense_sp = SparsityConfig(enabled=False)
+    tps_dense = decode_tps(cfg, params, dense_sp, args.max_seq,
+                           n_short, n_long)
+    log(f"dense:  {tps_dense:.2f} tok/s  "
+        f"({model_gb * tps_dense:.0f} GB/s effective)")
+
+    sparse_sp = SparsityConfig(
+        enabled=True, kernel="block", block_size=args.block_size,
+        block_keep_frac=1.0 - args.sparsity,
+    )
+    tps_sparse = decode_tps(cfg, params, sparse_sp, args.max_seq,
+                            n_short, n_long)
+    log(f"sparse: {tps_sparse:.2f} tok/s  "
+        f"({model_gb * (1 - args.sparsity) * tps_sparse:.0f} GB/s effective)")
+
+    speedup = tps_sparse / tps_dense
+    print(json.dumps({
+        "metric": f"sparse_decode_speedup_{int(args.sparsity*100)}pct_{args.model}",
+        "value": round(speedup, 4),
+        "unit": "x_vs_dense",
+        "vs_baseline": round(speedup / 1.8, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

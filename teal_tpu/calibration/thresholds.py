@@ -1,0 +1,111 @@
+"""Sparsity schedules → per-(layer, projection) threshold arrays.
+
+Builds the `[n_layers, 7]` threshold array the model consumes, from
+calibration histograms (ours or TEAL's shipped `models/<M>/histograms/`)
+plus either a uniform sparsity level (reference `set_uniform_sparsity`,
+`teal/model.py:144-149`) or a greedy per-layer schedule read from
+`lookup/layer-<i>/results.csv` (reference `get_layer_greedy_sparsities`,
+`utils/utils.py:243-258`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from teal_tpu.config import ModelConfig, PROJS, PROJ_GROUP
+from teal_tpu.ops.distribution import (
+    Distribution,
+    load_histograms,
+    threshold_for_sparsity,
+)
+
+# CSV schema written by the greedy optimizer (reference `teal/greedyopt.py:
+# 120-126`): Effective Sparsity, Activation Error, Baseline Error, then the
+# seven per-projection sparsities in PROJS order.
+CSV_HEADER = ["Effective Sparsity", "Activation Error", "Baseline Error"] + list(PROJS)
+
+
+def load_layer_distributions(hist_root: str, layer: int) -> Dict[str, Distribution]:
+    """Distributions for one layer keyed '<module>/<htype>'."""
+    out = {}
+    for module in ("self_attn", "mlp"):
+        hists = load_histograms(os.path.join(hist_root, f"layer-{layer}", module))
+        for htype in ("h1", "h2"):
+            out[f"{module}/{htype}"] = Distribution(hists[htype])
+    return out
+
+
+def proj_distribution(distrs: Dict[str, Distribution], proj: str) -> Distribution:
+    module, htype = PROJ_GROUP[proj]
+    return distrs[f"{module}/{htype}"]
+
+
+def thresholds_from_sparsities(
+    hist_root: str, cfg: ModelConfig, sparsities: np.ndarray
+) -> np.ndarray:
+    """sparsities: [n_layers, 7] → thresholds [n_layers, 7] (float32)."""
+    sparsities = np.asarray(sparsities, np.float64)
+    th = np.zeros((cfg.n_layers, len(PROJS)), np.float32)
+    for l in range(cfg.n_layers):
+        distrs = load_layer_distributions(hist_root, l)
+        for j, proj in enumerate(PROJS):
+            th[l, j] = threshold_for_sparsity(
+                proj_distribution(distrs, proj), float(sparsities[l, j])
+            )
+    return th
+
+
+def thresholds_for_uniform(
+    hist_root: str,
+    cfg: ModelConfig,
+    sparsity: float,
+    *,
+    mlp_sparsity: Optional[float] = None,
+    self_attn_sparsity: Optional[float] = None,
+) -> np.ndarray:
+    """Uniform sparsity across layers; optional per-module override
+    (reference `set_mlp_sparsity`/`set_self_attn_sparsity`,
+    `teal/model.py:131-142`)."""
+    s = np.zeros((cfg.n_layers, len(PROJS)), np.float64)
+    for j, proj in enumerate(PROJS):
+        module, _ = PROJ_GROUP[proj]
+        if module == "mlp" and mlp_sparsity is not None:
+            s[:, j] = mlp_sparsity
+        elif module == "self_attn" and self_attn_sparsity is not None:
+            s[:, j] = self_attn_sparsity
+        else:
+            s[:, j] = sparsity
+    return thresholds_from_sparsities(hist_root, cfg, s)
+
+
+def get_layer_greedy_sparsities(
+    lookup_root: str, cfg: ModelConfig, level: float
+) -> np.ndarray:
+    """Per-layer sparsities [n_layers, 7]: for each layer pick the greedy
+    CSV row whose effective sparsity is closest to `level`."""
+    import pandas as pd
+
+    out = np.zeros((cfg.n_layers, len(PROJS)), np.float64)
+    for l in range(cfg.n_layers):
+        path = os.path.join(lookup_root, f"layer-{l}", "results.csv")
+        df = pd.read_csv(path)
+        row = df.iloc[(df["Effective Sparsity"] - level).abs().argmin()]
+        for j, proj in enumerate(PROJS):
+            out[l, j] = float(row[proj])
+    return out
+
+
+def thresholds_for_greedy(
+    teal_root: str, cfg: ModelConfig, level: float
+) -> np.ndarray:
+    """Thresholds from a calibration dir containing both `histograms/` and
+    `lookup/` (the reference's `--teal_path` layout)."""
+    sparsities = get_layer_greedy_sparsities(
+        os.path.join(teal_root, "lookup"), cfg, level
+    )
+    return thresholds_from_sparsities(
+        os.path.join(teal_root, "histograms"), cfg, sparsities
+    )

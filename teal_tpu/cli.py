@@ -1,0 +1,253 @@
+"""Unified CLI (replaces the reference's per-script argparse CLIs:
+`gpt-fast/generate.py`, `teal/grab_acts.py`, `teal/ppl_test.py`,
+`teal/greedyopt.py`).
+
+Subcommands:
+  generate   text generation (dense or sparse decode)
+  calibrate  activation capture -> histograms (+ layer inputs)
+  greedyopt  block-wise greedy per-layer sparsity allocation
+  ppl        sliding-window perplexity, dense vs sparse
+  convert    HF safetensors -> native parameter store
+
+Model weights come from --checkpoint (HF safetensors dir or native dir);
+without one, --random-init builds a random model of the named architecture
+(hermetic benchmarking).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _load_model(args, dtype=None):
+    import jax
+    import jax.numpy as jnp
+
+    from teal_tpu.config import get_model_config
+    from teal_tpu.models import llama
+    from teal_tpu.utils import checkpoint
+
+    overrides = {}
+    if getattr(args, "n_layers", None):
+        overrides["n_layers"] = args.n_layers
+    cfg = get_model_config(args.model, **overrides)
+    dtype = dtype or (jnp.float32 if args.fp32 else jnp.bfloat16)
+    if args.checkpoint:
+        import os
+
+        if os.path.exists(os.path.join(args.checkpoint, "meta.json")):
+            params = checkpoint.load_params(args.checkpoint)
+        else:
+            params = checkpoint.load_hf_checkpoint(args.checkpoint, cfg, dtype)
+    elif args.random_init:
+        params = llama.init_params(cfg, jax.random.PRNGKey(args.seed), dtype)
+    else:
+        raise SystemExit("need --checkpoint or --random-init")
+    return cfg, params
+
+
+def _thresholds(args, cfg):
+    import numpy as np
+
+    from teal_tpu.calibration import thresholds_for_uniform
+    from teal_tpu.calibration.thresholds import thresholds_for_greedy
+
+    if not args.hist_path or args.sparsity == 0:
+        return np.zeros((cfg.n_layers, 7), np.float32)
+    if getattr(args, "greedy", False):
+        import os
+
+        return thresholds_for_greedy(
+            os.path.dirname(args.hist_path.rstrip("/")), cfg, args.sparsity
+        )
+    return thresholds_for_uniform(args.hist_path, cfg, args.sparsity)
+
+
+def cmd_generate(args):
+    import numpy as np
+
+    from teal_tpu.config import SparsityConfig
+    from teal_tpu.engine import Generator
+    from teal_tpu.utils.tokenizer import get_tokenizer
+
+    cfg, params = _load_model(args)
+    tok = get_tokenizer(args.tokenizer or args.checkpoint)
+
+    sp = SparsityConfig(enabled=args.sparsity > 0, kernel=args.kernel,
+                        block_size=args.block_size,
+                        block_keep_frac=1.0 - args.sparsity)
+    thresholds = _thresholds(args, cfg)
+    gen = Generator(cfg, params, sp=sp, max_seq=args.max_seq,
+                    temperature=args.temperature, top_k=args.top_k)
+
+    ids = tok.encode(args.prompt, bos=True)
+    for i in range(args.num_samples):
+        t0 = time.time()
+        out, stats = gen.generate(
+            np.asarray(ids), args.max_new_tokens,
+            thresholds=thresholds,
+            key=__import__("jax").random.PRNGKey(args.seed + i),
+        )
+        text = tok.decode(out[0][len(ids):])
+        print(text)
+        print(
+            f"[{stats.new_tokens} tokens, {stats.tokens_per_s:.2f} tok/s, "
+            f"{stats.bandwidth_gb_s:.1f} GB/s, prefill {stats.prefill_s*1e3:.0f} ms]",
+            file=sys.stderr,
+        )
+
+
+def cmd_calibrate(args):
+    import numpy as np
+
+    from teal_tpu.calibration import calibrate
+    from teal_tpu.utils.tokenizer import get_tokenizer
+
+    cfg, params = _load_model(args)
+    tok = get_tokenizer(args.tokenizer or args.checkpoint)
+    if args.text_file:
+        text = open(args.text_file).read()
+        ids = tok.encode(text)
+    else:
+        rng = np.random.default_rng(args.seed)
+        ids = rng.integers(0, cfg.vocab_size, args.batch * args.seq_len)
+    n = args.batch * args.seq_len
+    ids = (list(ids) * (n // max(len(ids), 1) + 1))[:n]
+    tokens = np.asarray(ids).reshape(args.batch, args.seq_len)
+    calibrate(params, cfg, tokens, args.output_path,
+              save_layer_inputs=not args.no_layer_inputs, progress=True)
+    print(f"calibration artifacts written to {args.output_path}")
+
+
+def cmd_greedyopt(args):
+    from teal_tpu.calibration.greedyopt import run_greedy
+
+    cfg, params = _load_model(args)
+    layers = None
+    if args.layers:
+        layers = [int(x) for x in args.layers.split(",")]
+    run_greedy(params, cfg, args.teal_path,
+               target_sparsity=args.target_sparsity,
+               base_step_size=args.base_step_size,
+               last_fraction=args.last_fraction,
+               layers=layers, progress=True)
+
+
+def cmd_ppl(args):
+    import numpy as np
+
+    from teal_tpu.config import SparsityConfig
+    from teal_tpu.eval import eval_ppl
+    from teal_tpu.utils.tokenizer import get_tokenizer
+
+    cfg, params = _load_model(args)
+    tok = get_tokenizer(args.tokenizer or args.checkpoint)
+    if args.text_file:
+        ids = tok.encode(open(args.text_file).read())
+    else:
+        ids = np.random.default_rng(args.seed).integers(
+            0, cfg.vocab_size, args.num_tokens
+        )
+
+    dense = eval_ppl(params, cfg, ids, context_size=args.context_size,
+                     window_size=args.window_size)
+    print(f"dense ppl: {dense:.4f}")
+    if args.sparsity > 0:
+        sp = SparsityConfig(enabled=True, apply_prefill=True)
+        th = _thresholds(args, cfg)
+        sparse = eval_ppl(params, cfg, ids, sp=sp, thresholds=th,
+                          context_size=args.context_size,
+                          window_size=args.window_size)
+        print(f"sparse ppl @ {args.sparsity}: {sparse:.4f} "
+              f"(delta {sparse - dense:+.4f})")
+
+
+def cmd_convert(args):
+    import jax.numpy as jnp
+
+    from teal_tpu.config import get_model_config
+    from teal_tpu.utils import checkpoint
+
+    cfg = get_model_config(args.model)
+    params = checkpoint.load_hf_checkpoint(
+        args.checkpoint, cfg, jnp.float32 if args.fp32 else jnp.bfloat16
+    )
+    checkpoint.save_params(params, args.output_path)
+    print(f"native checkpoint written to {args.output_path}")
+
+
+def _common(p, ckpt=True):
+    p.add_argument("--model", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--random-init", action="store_true")
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--fp32", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--n-layers", type=int, default=None,
+                   help="override layer count (testing)")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="teal_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate")
+    _common(g)
+    g.add_argument("--prompt", default="Hello, my name is")
+    g.add_argument("--max-new-tokens", type=int, default=200)
+    g.add_argument("--num-samples", type=int, default=1)
+    g.add_argument("--max-seq", type=int, default=2048)
+    g.add_argument("--temperature", type=float, default=0.8)
+    g.add_argument("--top-k", type=int, default=200)
+    g.add_argument("--sparsity", type=float, default=0.0)
+    g.add_argument("--kernel", default="block",
+                   choices=["masked_dense", "block", "gather"])
+    g.add_argument("--block-size", type=int, default=32)
+    g.add_argument("--hist-path", default=None)
+    g.add_argument("--greedy", action="store_true")
+    g.set_defaults(fn=cmd_generate)
+
+    c = sub.add_parser("calibrate")
+    _common(c)
+    c.add_argument("--output-path", required=True)
+    c.add_argument("--text-file", default=None)
+    c.add_argument("--batch", type=int, default=10)
+    c.add_argument("--seq-len", type=int, default=2048)
+    c.add_argument("--no-layer-inputs", action="store_true")
+    c.set_defaults(fn=cmd_calibrate)
+
+    o = sub.add_parser("greedyopt")
+    _common(o)
+    o.add_argument("--teal-path", required=True,
+                   help="dir containing histograms/ and activations/")
+    o.add_argument("--target-sparsity", type=float, default=0.9)
+    o.add_argument("--base-step-size", type=float, default=0.05)
+    o.add_argument("--last-fraction", type=float, default=0.25)
+    o.add_argument("--layers", default=None, help="comma-separated subset")
+    o.set_defaults(fn=cmd_greedyopt)
+
+    p = sub.add_parser("ppl")
+    _common(p)
+    p.add_argument("--text-file", default=None)
+    p.add_argument("--num-tokens", type=int, default=8192)
+    p.add_argument("--context-size", type=int, default=2048)
+    p.add_argument("--window-size", type=int, default=512)
+    p.add_argument("--sparsity", type=float, default=0.0)
+    p.add_argument("--hist-path", default=None)
+    p.add_argument("--greedy", action="store_true")
+    p.set_defaults(fn=cmd_ppl)
+
+    v = sub.add_parser("convert")
+    _common(v)
+    v.add_argument("--output-path", required=True)
+    v.set_defaults(fn=cmd_convert)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

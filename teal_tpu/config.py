@@ -191,8 +191,15 @@ class SparsityConfig:
     # trailing `prefill_fraction` of prefill positions.
     apply_prefill: bool = False
     prefill_fraction: float = 0.5
-    # Block mode group size along the input dim (bf16 sublane tile = 16).
-    block_size: int = 16
+    # Block ("group") mode: group size along the input dim (must be a
+    # multiple of the bf16 sublane tile, 16) and the fraction of groups
+    # kept per projection (top-k by group max-|x| score; static so the
+    # gather capacity is compile-time fixed, the analog of the reference's
+    # SPARSITY_BIN autotune key, kernels/sparse_gemv.py:47).
+    block_size: int = 32
+    block_keep_frac: float = 0.5
+    # Unstructured "gather" mode capacity fraction (exact-semantics kernel).
+    gather_cap_frac: float = 0.625
 
     def replace(self, **kw) -> "SparsityConfig":
         return dataclasses.replace(self, **kw)

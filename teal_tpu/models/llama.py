@@ -143,12 +143,22 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
     """
     b, s, d = h.shape
     t = {p: thresholds[i] for i, p in enumerate(PROJS)}
+    # block-kernel fast path: single-token decode, batch 1 (the reference
+    # engine is batch-1 decode too, gpt-fast/generate.py)
+    use_block = (sp.enabled and sp.kernel == "block" and s == 1 and b == 1)
 
     # --- attention ---
     x = rms_norm(h, lp["attn_norm"], cfg.norm_eps)          # attn h1
-    q = _proj(x, lp["wq"], t["q"], sp, proj="q")
-    k = _proj(x, lp["wk"], t["k"], sp, proj="k")
-    v = _proj(x, lp["wv"], t["v"], sp, proj="v")
+    if use_block:
+        from teal_tpu.ops import block_gemv
+        q, k, v = block_gemv.project_many(
+            x, [lp["wq"], lp["wk"], lp["wv"]],
+            sp.block_size, sp.block_keep_frac,
+        )
+    else:
+        q = _proj(x, lp["wq"], t["q"], sp, proj="q")
+        k = _proj(x, lp["wk"], t["k"], sp, proj="k")
+        v = _proj(x, lp["wv"], t["v"], sp, proj="v")
 
     q = q.reshape(b, s, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
     hkv_local = kc.shape[1]
@@ -167,8 +177,14 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
 
     # --- mlp ---
     y = rms_norm(h, lp["mlp_norm"], cfg.norm_eps)            # mlp h1
-    gate = _proj(y, lp["wgate"], t["gate"], sp, proj="gate")
-    up = _proj(y, lp["wup"], t["up"], sp, proj="up")
+    if use_block:
+        from teal_tpu.ops import block_gemv
+        gate, up = block_gemv.project_many(
+            y, [lp["wgate"], lp["wup"]], sp.block_size, sp.block_keep_frac
+        )
+    else:
+        gate = _proj(y, lp["wgate"], t["gate"], sp, proj="gate")
+        up = _proj(y, lp["wup"], t["up"], sp, proj="up")
     inter = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
     # `inter` is mlp h2
     h = h + _proj(inter, lp["wdown"], t["down"], sp, proj="down")

@@ -1,0 +1,183 @@
+"""Block-sparse GEMV: the TPU-native sparse decode kernel.
+
+The reference's Triton kernel (`kernels/sparse_gemv.py:49-142`) skips
+individual weight rows via masked loads — efficient on GPUs, but on TPU
+per-row gathers cost a fixed ~180 ns of grid/DMA machinery per row
+(measured; see experiments/kernel_probe.py), which is slower than dense.
+TPU DMA wants big contiguous blocks, so sparsity here is *group-granular*:
+the input dimension is cut into groups of G rows (G a multiple of the bf16
+sublane tile, 16); a group is kept if its activation score (max |x| within
+the group) clears a calibrated group threshold. Kept groups' weight slabs
+`[G, N]` are gathered by a scalar-prefetched Pallas grid — each step DMAs
+one contiguous G-row slab and accumulates an MXU partial product into a
+VMEM-resident fp32 output block (deterministic accumulation, unlike the
+reference's fp16 `atomic_add` split-K, sparse_gemv.py:83).
+
+Capacity is static (jit-specialized per sparsity level, the analog of the
+reference's SPARSITY_BIN autotune key, sparse_gemv.py:47): selection is
+top-`k_keep` groups by score, with optional threshold semantics layered on
+top (below-threshold groups inside the top-k contribute zero but may still
+be read; survivors beyond capacity are dropped — bounded approximation).
+
+Weight layout: plain 2D `[K, N]` (K = input dim). Group slabs at G-row
+granularity are contiguous tile-rows in the TPU's tiled layout, so gather
+DMAs run at full HBM bandwidth.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUBLANES = 8
+
+
+def _gemv_kernel(idx_ref, x_ref, w_ref, o_ref, *, G: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    xi = x_ref[0][:, :G]                 # [8, G] (replicated sublanes)
+    o_ref[...] += jax.lax.dot_general(
+        xi, w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("G", "k_keep", "out_dtype"))
+def block_gather_gemv(idx, xpack, w, *, G: int, k_keep: int,
+                      out_dtype=jnp.bfloat16):
+    """y[1, N] = sum over kept groups of xpack[g] @ w[G-slab g].
+
+    idx:   [k_keep] int32 — kept group indices (ascending for DMA locality)
+    xpack: [k_keep, 8, 128] — group g's x values in lanes [:G], replicated
+           across the 8 sublanes (MXU lhs layout)
+    w:     [K, N]
+    """
+    K, N = w.shape
+    if K % G or N % LANES:
+        raise ValueError(
+            f"block kernel needs K divisible by G and N by 128; got "
+            f"K={K}, N={N}, G={G} (model dims too small for block mode — "
+            "use kernel='masked_dense')"
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(k_keep,),
+        in_specs=[
+            pl.BlockSpec((1, SUBLANES, LANES), lambda i, ir: (i, 0, 0)),
+            pl.BlockSpec((G, N), lambda i, ir: (ir[i], 0)),
+        ],
+        out_specs=pl.BlockSpec((SUBLANES, N), lambda i, ir: (0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_gemv_kernel, G=G),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((SUBLANES, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * SUBLANES * k_keep * G * N,
+            bytes_accessed=k_keep * G * N * w.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(idx, xpack, w)
+    return out[:1].astype(out_dtype)
+
+
+def group_scores(x, G: int):
+    """Per-group max-|x| score. x: [1, K] -> [K//G]."""
+    return jnp.max(jnp.abs(x).reshape(-1, G), axis=-1)
+
+
+def select_groups(x, G: int, k_keep: int,
+                  threshold: Optional[jax.Array] = None
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """Pick top-k_keep groups by score; build (idx, xpack) kernel inputs.
+
+    With `threshold`, groups whose score <= threshold contribute zero
+    (exact group-threshold semantics as long as the survivor count fits in
+    k_keep; beyond-capacity survivors are dropped lowest-score-first).
+    """
+    nb = x.shape[-1] // G
+    s = group_scores(x, G)
+    top_s, idx = jax.lax.top_k(s, k_keep)
+    idx = jnp.sort(idx)
+    xg = x.reshape(nb, G)[idx]                       # [k_keep, G]
+    if threshold is not None:
+        keep = s[idx] > threshold
+        xg = jnp.where(keep[:, None], xg, 0)
+    xpack = jnp.zeros((k_keep, SUBLANES, LANES), x.dtype)
+    xpack = xpack.at[:, :, :G].set(xg[:, None, :])
+    return idx.astype(jnp.int32), xpack
+
+
+def block_sparse_matmul(x, w, threshold, block_size: int = 32,
+                        keep_frac: Optional[float] = None):
+    """Drop-in sparse projection for decode. x: [..., 1, K]; w: [K, N].
+
+    keep_frac sets the static gather capacity; defaults to 0.625 (capacity
+    margin over 50% sparsity). The dispatcher in `sparse_gemv` passes the
+    configured value.
+    """
+    G = block_size
+    K, N = w.shape
+    nb = K // G
+    k_keep = max(1, min(nb, int(round(nb * (keep_frac if keep_frac else 0.625)))))
+    lead = x.shape[:-1]
+    xf = x.reshape(1, K)
+    idx, xpack = select_groups(xf, G, k_keep, threshold=threshold)
+    y = block_gather_gemv(idx, xpack, w, G=G, k_keep=k_keep,
+                          out_dtype=x.dtype)
+    return y.reshape(*lead, N)
+
+
+def project_many(x, ws, block_size: int = 32,
+                 keep_frac: Optional[float] = None):
+    """Apply the block-sparse GEMV to several weights sharing one input
+    (q/k/v share the post-LN hidden state; gate/up share the MLP input —
+    reference groups at `teal/mlp.py:50-56`, `teal/self_attn.py:70-84`).
+    Group selection runs once and is reused, the analog of the reference's
+    fused-QKV kernel sharing one activation load
+    (`kernels/sparse_gemv.py:147-237`)."""
+    G = block_size
+    K = x.shape[-1]
+    nb = K // G
+    k_keep = max(1, min(nb, int(round(nb * (keep_frac if keep_frac else 0.625)))))
+    lead = x.shape[:-1]
+    xf = x.reshape(1, K)
+    idx, xpack = select_groups(xf, G, k_keep)
+    outs = []
+    for w in ws:
+        y = block_gather_gemv(idx, xpack, w, G=G, k_keep=k_keep,
+                              out_dtype=x.dtype)
+        outs.append(y.reshape(*lead, w.shape[1]))
+    return outs
+
+
+def block_sparse_matmul_reference(x, w, threshold, block_size: int = 32,
+                                  keep_frac: Optional[float] = None):
+    """Pure-jnp semantics twin of `block_sparse_matmul` (tests/accuracy
+    path): same group selection, dense math."""
+    G = block_size
+    K, N = w.shape
+    nb = K // G
+    k_keep = max(1, min(nb, int(round(nb * (keep_frac if keep_frac else 0.625)))))
+    lead = x.shape[:-1]
+    xf = x.reshape(1, K)
+    s = group_scores(xf, G)
+    top_s, idx = jax.lax.top_k(s, k_keep)
+    mask = jnp.zeros((nb,), bool).at[idx].set(True)
+    if threshold is not None:
+        mask &= s > threshold
+    xm = jnp.where(jnp.repeat(mask, G)[None, :], xf, 0)
+    y = jnp.matmul(xm, w, preferred_element_type=jnp.float32).astype(x.dtype)
+    return y.reshape(*lead, N)

@@ -39,8 +39,15 @@ def sparse_matmul(x, w, threshold, sp: SparsityConfig):
         return masked_dense_matmul(x, w, threshold)
     if sp.kernel == "gather":
         from teal_tpu.ops import gather_gemv
-        return gather_gemv.gather_sparse_matmul(x, w, threshold)
+        return gather_gemv.gather_sparse_matmul(
+            x, w, threshold, nnz_cap_frac=sp.gather_cap_frac
+        )
     if sp.kernel == "block":
         from teal_tpu.ops import block_gemv
-        return block_gemv.block_sparse_matmul(x, w, threshold, sp.block_size)
+        # top-k group selection: the calibrated elementwise threshold is
+        # not applied (group scores live on a different scale); sparsity
+        # level comes from the static keep fraction.
+        return block_gemv.block_sparse_matmul(
+            x, w, None, sp.block_size, sp.block_keep_frac
+        )
     raise ValueError(f"unknown sparse kernel {sp.kernel!r}")

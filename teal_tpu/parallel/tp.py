@@ -1,0 +1,86 @@
+"""Tensor-parallel sharding specs (Megatron-style 1-D TP, the GSPMD way).
+
+Equivalent capability to the reference's `gpt-fast/tp.py:54-156` — colwise
+shards for q/k/v/gate/up, rowwise for o/down, head-sharded KV cache — but
+expressed as `NamedSharding`s on the parameter pytree. XLA's SPMD
+partitioner propagates the shardings through the forward and inserts the
+all-reduce after the rowwise projections (the reference registers NCCL
+all_reduce forward hooks by hand, tp.py:120-121,139-140).
+
+Sparsity composes with TP exactly as in the reference: thresholds are
+per-(layer, projection) scalars and the magnitude criterion is elementwise,
+so applying them to a shard equals sharding the globally-sparsified tensor
+(`tp_run.sh` demonstrates the same property upstream).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from teal_tpu.config import ModelConfig
+from teal_tpu.models.llama import KVCache
+
+
+def param_specs(cfg: ModelConfig):
+    """PartitionSpec pytree matching the stacked params layout.
+
+    colwise (output-dim) shards: wq wk wv wgate wup lm_head;
+    rowwise (input-dim) shards: wo wdown (their matmuls end in a psum).
+    """
+    layers = {
+        "attn_norm": P(),
+        "mlp_norm": P(),
+        "wq": P(None, None, "tp"),
+        "wk": P(None, None, "tp"),
+        "wv": P(None, None, "tp"),
+        "wo": P(None, "tp", None),
+        "wgate": P(None, None, "tp"),
+        "wup": P(None, None, "tp"),
+        "wdown": P(None, "tp", None),
+    }
+    return {
+        "embed": P(),
+        "layers": layers,
+        "final_norm": P(),
+        "lm_head": P(None, "tp"),
+    }
+
+
+def cache_specs():
+    """KV cache [L, B, Hkv, S, Dh]: batch over dp, heads over tp."""
+    return KVCache(k=P(None, "dp", "tp", None, None),
+                   v=P(None, "dp", "tp", None, None))
+
+
+def _named(mesh: Mesh, spec_tree):
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s), spec_tree,
+        is_leaf=lambda s: isinstance(s, P),
+    )
+
+
+def shard_params(params, mesh: Mesh, cfg: ModelConfig):
+    """Place params on the mesh with TP shardings.
+
+    Requires n_heads, n_kv_heads and intermediate_size divisible by the tp
+    axis size (the reference divides head counts the same way,
+    tp.py:134-137).
+    """
+    tp = mesh.shape["tp"]
+    for field, count in (("n_heads", cfg.n_heads),
+                         ("n_kv_heads", cfg.n_kv_heads)):
+        if count % tp:
+            raise ValueError(f"{field}={count} not divisible by tp={tp}")
+    shardings = _named(mesh, param_specs(cfg))
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
+    shardings = _named(mesh, cache_specs())
+    return KVCache(
+        k=jax.device_put(cache.k, shardings.k),
+        v=jax.device_put(cache.v, shardings.v),
+    )

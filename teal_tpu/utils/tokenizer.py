@@ -1,0 +1,154 @@
+"""Tokenizer wrappers (analog of `gpt-fast/tokenizer.py:8-112`).
+
+Resolution order for `get_tokenizer(path_or_name)`:
+  1. a local HF tokenizer (tokenizer.json / tokenizer.model via
+     `transformers.AutoTokenizer`, offline);
+  2. a Llama-3-style tiktoken model file (`tokenizer.model` BPE ranks with
+     the Llama-3 special tokens and split regex);
+  3. `ByteTokenizer` fallback (raw bytes + bos/eos) so every flow runs in
+     hermetic environments.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+
+class TokenizerInterface:
+    def encode(self, text: str, bos: bool = False) -> List[int]:
+        raise NotImplementedError
+
+    def decode(self, ids) -> str:
+        raise NotImplementedError
+
+    def bos_id(self) -> int:
+        raise NotImplementedError
+
+    def eos_id(self) -> int:
+        raise NotImplementedError
+
+    def vocab_size(self) -> int:
+        raise NotImplementedError
+
+
+class HFTokenizerWrapper(TokenizerInterface):
+    def __init__(self, path: str):
+        from transformers import AutoTokenizer
+
+        self.tok = AutoTokenizer.from_pretrained(path, local_files_only=True)
+
+    def encode(self, text, bos=False):
+        ids = self.tok.encode(text, add_special_tokens=False)
+        return ([self.bos_id()] + ids) if bos else ids
+
+    def decode(self, ids):
+        return self.tok.decode(list(map(int, ids)))
+
+    def bos_id(self):
+        return self.tok.bos_token_id if self.tok.bos_token_id is not None else 1
+
+    def eos_id(self):
+        return self.tok.eos_token_id if self.tok.eos_token_id is not None else 2
+
+    def vocab_size(self):
+        return len(self.tok)
+
+
+# Llama-3 tokenizer constants (model-family public spec; see the reference's
+# tiktoken wrapper at gpt-fast/tokenizer.py:41-95 for the same surface).
+_LLAMA3_SPLIT = (
+    r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}|"
+    r" ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+"
+)
+_LLAMA3_NUM_RESERVED = 256
+
+
+class TiktokenLlama3(TokenizerInterface):
+    def __init__(self, model_path: str):
+        import tiktoken
+        from tiktoken.load import load_tiktoken_bpe
+
+        ranks = load_tiktoken_bpe(model_path)
+        n = len(ranks)
+        specials = [
+            "<|begin_of_text|>", "<|end_of_text|>",
+            "<|reserved_special_token_0|>", "<|reserved_special_token_1|>",
+            "<|finetune_right_pad_id|>", "<|step_id|>",
+            "<|start_header_id|>", "<|end_header_id|>", "<|eom_id|>",
+            "<|eot_id|>", "<|python_tag|>",
+        ]
+        specials += [
+            f"<|reserved_special_token_{i}|>"
+            for i in range(2, _LLAMA3_NUM_RESERVED - len(specials) + 2)
+        ]
+        self.special = {s: n + i for i, s in enumerate(specials)}
+        self.enc = tiktoken.Encoding(
+            name=os.path.basename(model_path),
+            pat_str=_LLAMA3_SPLIT,
+            mergeable_ranks=ranks,
+            special_tokens=self.special,
+        )
+
+    def encode(self, text, bos=False):
+        ids = self.enc.encode(text)
+        return ([self.bos_id()] + ids) if bos else ids
+
+    def decode(self, ids):
+        return self.enc.decode(list(map(int, ids)))
+
+    def bos_id(self):
+        return self.special["<|begin_of_text|>"]
+
+    def eos_id(self):
+        return self.special["<|end_of_text|>"]
+
+    def vocab_size(self):
+        return self.enc.n_vocab
+
+
+class ByteTokenizer(TokenizerInterface):
+    """Hermetic fallback: ids 0..255 are raw bytes; 256=bos, 257=eos."""
+
+    BOS, EOS = 256, 257
+
+    def encode(self, text, bos=False):
+        ids = list(text.encode("utf-8"))
+        return ([self.BOS] + ids) if bos else ids
+
+    def decode(self, ids):
+        return bytes(i for i in map(int, ids) if i < 256).decode(
+            "utf-8", errors="replace"
+        )
+
+    def bos_id(self):
+        return self.BOS
+
+    def eos_id(self):
+        return self.EOS
+
+    def vocab_size(self):
+        return 258
+
+
+def get_tokenizer(path_or_name: Optional[str]) -> TokenizerInterface:
+    if path_or_name and os.path.isdir(path_or_name):
+        if os.path.exists(os.path.join(path_or_name, "tokenizer.json")) or \
+           os.path.exists(os.path.join(path_or_name, "tokenizer_config.json")):
+            try:
+                return HFTokenizerWrapper(path_or_name)
+            except Exception:
+                pass
+        tm = os.path.join(path_or_name, "tokenizer.model")
+        if os.path.exists(tm):
+            name = path_or_name.lower()
+            if "llama-3" in name or "llama3" in name:
+                return TiktokenLlama3(tm)
+            try:
+                return HFTokenizerWrapper(path_or_name)
+            except Exception:
+                pass
+    elif path_or_name and os.path.isfile(path_or_name) and \
+            path_or_name.endswith("tokenizer.model"):
+        return TiktokenLlama3(path_or_name)
+    return ByteTokenizer()

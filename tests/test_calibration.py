@@ -1,0 +1,146 @@
+"""Calibration pipeline: capture → histograms → thresholds → greedy."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from teal_tpu.config import PROJS, SparsityConfig, get_model_config
+from teal_tpu.calibration import (
+    calibrate,
+    get_layer_greedy_sparsities,
+    proj_weights,
+    process_layer,
+    thresholds_for_uniform,
+)
+from teal_tpu.calibration.grab_acts import load_layer_input
+from teal_tpu.calibration.greedyopt import effective_sparsity
+from teal_tpu.calibration.thresholds import (
+    load_layer_distributions,
+    thresholds_for_greedy,
+)
+from teal_tpu.models import llama
+
+
+@pytest.fixture(scope="module")
+def calib(tmp_path_factory):
+    cfg = get_model_config("tiny")
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    out = str(tmp_path_factory.mktemp("calib"))
+    tokens = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, size=(2, 64)
+    )
+    calibrate(params, cfg, tokens, out, num_bins=512)
+    return cfg, params, out
+
+
+def test_artifacts_layout(calib):
+    cfg, params, out = calib
+    for l in range(cfg.n_layers):
+        for module in ("self_attn", "mlp"):
+            p = os.path.join(out, "histograms", f"layer-{l}", module,
+                             "histograms.npz")
+            assert os.path.exists(p), p
+        assert os.path.exists(os.path.join(out, "activations", f"act_{l}.npz"))
+
+
+def test_layer_inputs_chain(calib):
+    """act_0 must equal the embedding output (layer-streaming correctness)."""
+    cfg, params, out = calib
+    a0 = load_layer_input(out, 0)
+    assert a0.shape == (2, 64, cfg.dim)
+    # layer 1 input differs from layer 0 input (the layer did something)
+    a1 = load_layer_input(out, 1)
+    assert not np.allclose(a0, a1)
+
+
+def test_uniform_thresholds_achieve_target_sparsity(calib):
+    """Thresholds from captured histograms must actually zero ~s of the
+    activations they were calibrated on — the end-to-end calibration
+    contract."""
+    cfg, params, out = calib
+    hist_root = os.path.join(out, "histograms")
+    s = 0.5
+    th = thresholds_for_uniform(hist_root, cfg, s)
+    assert th.shape == (cfg.n_layers, len(PROJS))
+    assert np.all(th > 0)
+
+    # re-capture layer-0 h1 and check the threshold zeroes ~50%
+    from teal_tpu.calibration.grab_acts import _layer_capture
+
+    a0 = jnp.asarray(load_layer_input(out, 0))
+    lp = jax.tree.map(lambda a: a[0], params["layers"])
+    _, caps = _layer_capture(lp, a0, cfg)
+    h1 = np.asarray(caps["self_attn"]["h1"])
+    frac = np.mean(np.abs(h1) <= th[0, PROJS.index("q")])
+    assert frac == pytest.approx(s, abs=0.05)
+
+
+def test_threshold_zero_sparsity_is_zero(calib):
+    cfg, params, out = calib
+    th = thresholds_for_uniform(os.path.join(out, "histograms"), cfg, 0.0)
+    assert np.all(th == 0.0)
+
+
+def test_greedy_process_layer_and_lookup(calib, tmp_path):
+    cfg, params, out = calib
+    lp = jax.tree.map(lambda a: a[0], params["layers"])
+    distrs = load_layer_distributions(os.path.join(out, "histograms"), 0)
+    acts = load_layer_input(out, 0)
+    csv_path = str(tmp_path / "lookup" / "layer-0" / "results.csv")
+
+    sparsities = process_layer(
+        lp, cfg, acts, distrs,
+        target_sparsity=0.3, base_step_size=0.1,
+        output_csv=csv_path,
+    )
+    w = proj_weights(cfg)
+    assert effective_sparsity(sparsities, w) >= 0.3
+    assert os.path.exists(csv_path)
+
+    # the lookup reader must invert the CSV
+    got = get_layer_greedy_sparsities(str(tmp_path / "lookup"),
+                                      get_model_config("tiny", n_layers=1),
+                                      0.3)
+    assert got.shape == (1, 7)
+    eff = effective_sparsity({p: got[0, j] for j, p in enumerate(PROJS)}, w)
+    assert eff == pytest.approx(0.3, abs=0.11)
+
+
+def test_proj_weights_match_reference_table():
+    """Derived weights must reproduce the reference's hand-built weight_dict
+    (`teal/greedyopt.py:26-52`)."""
+    cfg = get_model_config("llama-3-8b")
+    w = proj_weights(cfg)
+    assert w["q"] == 1 and w["o"] == 1
+    assert w["k"] == pytest.approx(1 / 4)
+    assert w["v"] == pytest.approx(1 / 4)
+    assert w["gate"] == pytest.approx(3.5)
+    assert w["down"] == pytest.approx(3.5)
+
+    cfg = get_model_config("7B")  # Llama-2-7B: MHA, intermediate 11008
+    w = proj_weights(cfg)
+    assert w["k"] == 1.0  # MHA: k is full-size (the reference table's 1/8
+    # entry for Llama-2-7B reflects its 70B-style gqa assumption; actual
+    # Llama-2-7B has no GQA and k params == q params)
+    assert w["gate"] == pytest.approx(11008 / 4096)
+
+
+def test_greedy_beats_baseline_eventually(calib, tmp_path):
+    """The optimizer's own self-check (SURVEY §4.5): activation error at the
+    final step should not exceed the uniform baseline materially."""
+    import pandas as pd
+
+    cfg, params, out = calib
+    lp = jax.tree.map(lambda a: a[1], params["layers"])
+    distrs = load_layer_distributions(os.path.join(out, "histograms"), 1)
+    acts = load_layer_input(out, 1)
+    csv_path = str(tmp_path / "lookup2" / "layer-1" / "results.csv")
+    process_layer(lp, cfg, acts, distrs, target_sparsity=0.4,
+                  base_step_size=0.1, output_csv=csv_path)
+    df = pd.read_csv(csv_path)
+    assert len(df) >= 2
+    last = df.iloc[-1]
+    assert last["Activation Error"] <= last["Baseline Error"] * 1.25
