@@ -41,6 +41,7 @@ def build(model_name: str, max_seq: int, dtype):
         functools.partial(llama.init_params, cfg, dtype=dtype)
     )(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
+    jax.device_get(jax.tree.map(lambda a: a.ravel()[0], params))
     log(f"params built in {time.time()-t0:.1f}s "
         f"({sum(a.size*a.dtype.itemsize for a in jax.tree.leaves(params))/1e9:.2f} GB)")
     return cfg, params
@@ -52,7 +53,7 @@ def decode_tps(cfg, params, sp, max_seq: int, n_short: int, n_long: int,
     from teal_tpu.models import llama
     from teal_tpu.models.llama import KVCache
 
-    dtype = params["layers"]["wq"].dtype
+    dtype = llama.compute_dtype(params)
 
     def make(n):
         @functools.partial(jax.jit, donate_argnums=(1,))
@@ -69,7 +70,7 @@ def decode_tps(cfg, params, sp, max_seq: int, n_short: int, n_long: int,
             (token, cache), _ = jax.lax.scan(
                 body, (token, cache), jnp.arange(n, dtype=jnp.int32)
             )
-            return token
+            return jnp.sum(token)
 
         return run
 
@@ -81,23 +82,27 @@ def decode_tps(cfg, params, sp, max_seq: int, n_short: int, n_long: int,
         token = jnp.asarray([i % cfg.vocab_size], jnp.int32)
         return cache, token
 
+    # device_get is the only reliable execution barrier on this runtime
     t0 = time.time()
-    jax.block_until_ready(run_s(params, *fresh(0), th))
-    jax.block_until_ready(run_l(params, *fresh(1), th))
+    jax.device_get(run_s(params, *fresh(0), th))
+    jax.device_get(run_l(params, *fresh(1), th))
     log(f"compiled+warm in {time.time()-t0:.1f}s")
 
     slopes = []
     for r in range(reps):
         cs, ts_ = fresh(2 + 2 * r)
-        t0 = time.perf_counter()
-        jax.block_until_ready(run_s(params, cs, ts_, th))
-        t1 = time.perf_counter()
         cl, tl_ = fresh(3 + 2 * r)
-        jax.block_until_ready(run_l(params, cl, tl_, th))
+        t0 = time.perf_counter()
+        jax.device_get(run_s(params, cs, ts_, th))
+        t1 = time.perf_counter()
+        jax.device_get(run_l(params, cl, tl_, th))
         t2 = time.perf_counter()
         slopes.append(((t2 - t1) - (t1 - t0)) / (n_long - n_short))
     slopes.sort()
     per_tok = slopes[len(slopes) // 2]
+    t_s = per_tok * n_short
+    if not (t_s > 0):
+        raise RuntimeError("non-positive decode slope — sync failure?")
     return 1.0 / per_tok
 
 

@@ -67,9 +67,11 @@ class Generator:
         self.cache_dtype = cache_dtype
         self.temperature = temperature
         self.top_k = top_k
+        wq = params["layers"]["wq"]
+        proj_bytes = 1 if isinstance(wq, dict) else jnp.dtype(wq.dtype).itemsize
         self.model_bytes = sum(
             cfg.proj_params(p) for p in ("q", "k", "v", "o", "gate", "up", "down")
-        ) * cfg.n_layers * jnp.dtype(params["layers"]["wq"].dtype).itemsize
+        ) * cfg.n_layers * proj_bytes
 
         fwd = functools.partial(llama.forward, cfg=cfg, sp=sp)
         dense_sp = sp.replace(enabled=False)
@@ -135,7 +137,7 @@ class Generator:
         t0 = time.perf_counter()
         tok, cache = self._prefill(self.params, cache, padded, 0,
                                    thresholds, kp, t)
-        tok.block_until_ready()
+        tok = jnp.asarray(np.asarray(tok))  # device_get: the reliable sync
         t1 = time.perf_counter()
 
         if on_device_loop:
@@ -143,7 +145,7 @@ class Generator:
                 self.params, cache, tok, t, thresholds, key,
                 max_new_tokens - 1,
             )
-            toks = jax.block_until_ready(toks)      # [n, B]
+            toks = np.asarray(toks)                 # device_get sync; [n, B]
             out = np.concatenate(
                 [np.asarray(tok)[None], np.asarray(toks)], axis=0
             ).T                                     # [B, new]

@@ -1,0 +1,188 @@
+"""Speculative decoding (draft proposes k tokens, target verifies in one
+forward).
+
+Algorithm parity with the reference (`gpt-fast/generate.py:98-146`):
+  - draft decodes `k` tokens sequentially, recording its probs;
+  - one target forward over [current, draft_0..k-1] yields k+1 prob rows;
+  - draft token i is accepted with prob min(1, q_i/p_i) (q target, p
+    draft); on first rejection the replacement token is sampled from the
+    residual distribution max(q - p, 0)/sum (:139-146); if all k are
+    accepted an extra token is sampled from the target's last row (:131).
+  - the draft model's cache is topped up with the last draft token so both
+    caches stay aligned (:133-137); rejected positions' cache slots are
+    simply overwritten by later steps (attention masks them meanwhile).
+
+The whole step is one jitted program with fixed shapes: it returns a
+`[k+1]` token buffer plus `n_valid` (accepted + 1); the host loop advances
+by `n_valid`. This keeps XLA happy where the reference relies on dynamic
+Python control flow.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from teal_tpu.config import ModelConfig, SparsityConfig
+from teal_tpu.engine.sampling import logits_to_probs
+from teal_tpu.models import llama
+from teal_tpu.models.llama import KVCache
+
+
+def build_speculative_step(
+    target_cfg: ModelConfig,
+    draft_cfg: ModelConfig,
+    *,
+    speculate_k: int,
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    target_sp: SparsityConfig = SparsityConfig(),
+    draft_sp: SparsityConfig = SparsityConfig(),
+):
+    """Returns a jitted step:
+    (pt, pd, cache_t, cache_d, token[1], pos, th_t, th_d, key)
+      -> (tokens[k+1], n_valid, cache_t, cache_d, key)
+    """
+    k = speculate_k
+
+    def sample_probs(key, probs):
+        return jax.random.categorical(key, jnp.log(probs + 1e-30), axis=-1)
+
+    @functools.partial(jax.jit, donate_argnums=(2, 3))
+    def step(pt, pd, cache_t, cache_d, token, pos, th_t, th_d, key):
+        # --- draft: k sequential tokens ---
+        def dbody(carry, i):
+            tok, cache_d, key = carry
+            key, sub = jax.random.split(key)
+            logits, cache_d = llama.forward(
+                pd, tok[:, None], cache_d, pos + i, th_d,
+                cfg=draft_cfg, sp=draft_sp,
+            )
+            probs = logits_to_probs(logits[0, 0], temperature, top_k)
+            tok = sample_probs(sub, probs)[None].astype(jnp.int32)
+            return (tok, cache_d, key), (tok[0], probs)
+
+        (last_tok, cache_d, key), (dtoks, dprobs) = jax.lax.scan(
+            dbody, (token, cache_d, key), jnp.arange(k)
+        )
+
+        # --- target: verify in one forward over k+1 positions ---
+        seq = jnp.concatenate([token, dtoks])[None, :]          # [1, k+1]
+        tlogits, cache_t = llama.forward(
+            pt, seq, cache_t, pos, th_t, cfg=target_cfg, sp=target_sp,
+        )
+        tprobs = logits_to_probs(tlogits[0], temperature, top_k)  # [k+1, V]
+
+        p = dprobs[jnp.arange(k), dtoks]                         # draft
+        q = tprobs[jnp.arange(k), dtoks]                         # target
+        key, kacc, kres = jax.random.split(key, 3)
+        accept = jax.random.uniform(kacc, (k,)) < jnp.minimum(1.0, q / p)
+        any_rej = jnp.any(~accept)
+        acc_len = jnp.where(any_rej, jnp.argmax(~accept), k)
+
+        # residual distribution at the rejection point; dprobs padded with a
+        # zero row so acc_len == k degenerates to sampling tprobs[k]
+        dprobs_pad = jnp.concatenate(
+            [dprobs, jnp.zeros_like(tprobs[:1])], axis=0
+        )
+        residual = jnp.maximum(tprobs[acc_len] - dprobs_pad[acc_len], 0.0)
+        residual = residual / jnp.maximum(residual.sum(), 1e-30)
+        next_token = sample_probs(kres, residual).astype(jnp.int32)
+
+        # top up the draft cache with its own last token (reference :133-137)
+        _, cache_d = llama.forward(
+            pd, dtoks[-1][None, None], cache_d, pos + k, th_d,
+            cfg=draft_cfg, sp=draft_sp,
+        )
+
+        idx = jnp.arange(k + 1)
+        out = jnp.where(idx < acc_len,
+                        jnp.concatenate([dtoks, dtoks[-1:]]),
+                        jnp.where(idx == acc_len, next_token, 0))
+        return out, acc_len + 1, cache_t, cache_d, key
+
+    return step
+
+
+def speculative_generate(
+    target_params, draft_params,
+    target_cfg: ModelConfig, draft_cfg: ModelConfig,
+    prompt_tokens,
+    max_new_tokens: int,
+    *,
+    speculate_k: int = 5,
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    max_seq: int = 2048,
+    target_sp: SparsityConfig = SparsityConfig(),
+    draft_sp: SparsityConfig = SparsityConfig(),
+    target_thresholds=None,
+    draft_thresholds=None,
+    key=None,
+    cache_dtype=jnp.bfloat16,
+) -> Tuple[np.ndarray, dict]:
+    """Host loop. Returns (all tokens [T+new], stats)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    th_t = (target_thresholds if target_thresholds is not None
+            else llama.zero_thresholds(target_cfg))
+    th_d = (draft_thresholds if draft_thresholds is not None
+            else llama.zero_thresholds(draft_cfg))
+
+    prompt = jnp.asarray(prompt_tokens, jnp.int32).reshape(1, -1)
+    t = prompt.shape[1]
+
+    cache_t = KVCache.init(target_cfg, 1, max_seq, cache_dtype)
+    cache_d = KVCache.init(draft_cfg, 1, max_seq, cache_dtype)
+
+    # prefill both models on the prompt
+    key, kp = jax.random.split(key)
+    logits, cache_t = llama.forward(
+        target_params, prompt, cache_t, 0, th_t,
+        cfg=target_cfg, sp=target_sp,
+    )
+    probs = logits_to_probs(logits[0, -1], temperature, top_k)
+    cur = jax.random.categorical(
+        kp, jnp.log(probs + 1e-30))[None].astype(jnp.int32)
+    _, cache_d = llama.forward(
+        draft_params, prompt, cache_d, 0, th_d,
+        cfg=draft_cfg, sp=draft_sp,
+    )
+
+    step = build_speculative_step(
+        target_cfg, draft_cfg, speculate_k=speculate_k,
+        temperature=temperature, top_k=top_k,
+        target_sp=target_sp, draft_sp=draft_sp,
+    )
+
+    out = [int(np.asarray(cur)[0])]
+    pos = t
+    accept_counts = []
+    while len(out) < max_new_tokens:
+        toks, n_valid, cache_t, cache_d, key = step(
+            target_params, draft_params, cache_t, cache_d, cur, pos,
+            th_t, th_d, key,
+        )
+        toks = np.asarray(toks)
+        n = int(n_valid)
+        accept_counts.append(n - 1)
+        take = min(n, max_new_tokens - len(out))
+        out.extend(int(x) for x in toks[:take])
+        pos += n
+        cur = jnp.asarray(toks[n - 1 : n], jnp.int32)
+        if pos + speculate_k + 1 >= max_seq:
+            break
+
+    all_tokens = np.concatenate(
+        [np.asarray(prompt)[0], np.asarray(out, np.int64)]
+    )
+    stats = {
+        "accepted_per_step": accept_counts,
+        "mean_accepted": float(np.mean(accept_counts)) if accept_counts else 0.0,
+        "new_tokens": len(out),
+    }
+    return all_tokens, stats

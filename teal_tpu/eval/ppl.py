@@ -36,7 +36,7 @@ def _window_nll(params, tokens, n_valid, n_score, thresholds,
     (both traced scalars so window geometry doesn't retrace).
     """
     t = tokens.shape[1]
-    cache = KVCache.init(cfg, 1, t, params["layers"]["wq"].dtype)
+    cache = KVCache.init(cfg, 1, t, llama.compute_dtype(params))
     logits, _ = llama.forward(
         params, tokens, cache, 0, thresholds, cfg=cfg, sp=sp
     )

@@ -91,10 +91,22 @@ def _proj(x, w, thresh, sp: SparsityConfig, *, proj: str):
     decode when `sp.kernel` selects them; otherwise (prefill, accuracy path)
     this is a masked-dense matmul, matching reference semantics where
     prefill is dense in the fast engine (`kernels/sparse_gemv.py:271`).
+    `w` may be a raw array or an int8 weight-only dict {"q", "scale"}.
     """
+    quantized = isinstance(w, dict)
     if sp.enabled and x.shape[-2] == 1 and sp.kernel != "masked_dense":
-        return sparse_gemv.sparse_matmul(x, w, thresh, sp)
+        if quantized and sp.kernel == "block":
+            from teal_tpu.ops import quant
+            return quant.int8_block_sparse_matmul(
+                x, quant.Int8Weight(w["q"], w["scale"]),
+                sp.block_size, sp.block_keep_frac,
+            )
+        if not quantized:
+            return sparse_gemv.sparse_matmul(x, w, thresh, sp)
     xs = apply_sparsity(x, thresh, sp)
+    if quantized:
+        from teal_tpu.ops import quant
+        return quant.int8_matmul(xs, quant.Int8Weight(w["q"], w["scale"]))
     return jnp.matmul(xs, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
@@ -177,6 +189,16 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
 
     # --- mlp ---
     y = rms_norm(h, lp["mlp_norm"], cfg.norm_eps)            # mlp h1
+    if cfg.n_experts > 0:
+        # Mixtral MoE FFN (vanilla — not sparsity-integrated, matching the
+        # reference's mixtral-moe engine; SURVEY §2.3)
+        from teal_tpu.models import moe
+
+        h = h + moe.moe_ffn(y, lp, cfg)
+        caps = None
+        if capture:
+            raise NotImplementedError("capture mode not supported for MoE")
+        return h, kc, vc, caps
     if use_block:
         from teal_tpu.ops import block_gemv
         gate, up = block_gemv.project_many(
@@ -196,6 +218,15 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
     return h, kc, vc, caps
 
 
+def compute_dtype(params):
+    """Activation dtype: the projection dtype, or bf16 when projections are
+    int8 weight-only dicts."""
+    w = params["layers"]["wq"]
+    if isinstance(w, dict):
+        return jnp.bfloat16
+    return w.dtype
+
+
 def _layer_params_at(params, i):
     return {k: params["layers"][k][i] for k in params["layers"]}
 
@@ -207,7 +238,7 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
 
     Returns (logits [B, S, V] fp32, new_cache).
     """
-    h = params["embed"][tokens].astype(params["layers"]["wq"].dtype)
+    h = params["embed"][tokens].astype(compute_dtype(params))
     s = tokens.shape[1]
     cos_full, sin_full = precompute_rope(cfg, cache.max_seq)
     cos = jax.lax.dynamic_slice_in_dim(cos_full, pos, s, axis=0)
@@ -266,10 +297,17 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16):
         "wk": w(lk[1], (L, D, KV)),
         "wv": w(lk[2], (L, D, KV)),
         "wo": w(lk[3], (L, D, D)),
-        "wgate": w(lk[4], (L, D, I)),
-        "wup": w(lk[5], (L, D, I)),
-        "wdown": w(lk[6], (L, I, D)),
     }
+    if cfg.n_experts > 0:
+        from teal_tpu.models import moe
+
+        layers.update(moe.init_moe_ffn_params(cfg, lk[4], dtype))
+    else:
+        layers.update({
+            "wgate": w(lk[4], (L, D, I)),
+            "wup": w(lk[5], (L, D, I)),
+            "wdown": w(lk[6], (L, I, D)),
+        })
     return {
         "embed": w(keys[1], (V, D)),
         "layers": layers,

@@ -1,0 +1,79 @@
+"""Mixtral-style mixture-of-experts FFN.
+
+Capability parity with the reference's vanilla Mixtral engine
+(`gpt-fast/mixtral-moe/model.py:187-231`): top-k softmax routing over E
+experts, SwiGLU experts, outputs combined by normalized router weights.
+Like the reference, the MoE path is NOT sparsity-integrated (grep confirms
+zero TEAL hooks in mixtral-moe/; SURVEY §2.3).
+
+Decode (S == 1): only the k routed experts' weights are gathered/read —
+the memory-bound analog of the reference's `ConditionalFeedForward`
+indexing (`mixtral-moe/model.py:193-199`). Prefill: dense einsum over all
+experts (compute-bound, simple and XLA-friendly at small contexts).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from teal_tpu.config import ModelConfig
+
+
+def init_moe_ffn_params(cfg: ModelConfig, key, dtype=jnp.bfloat16):
+    """Per-layer MoE FFN params (stacked [L, E, ...])."""
+    L, D, I, E = (cfg.n_layers, cfg.dim, cfg.intermediate_size,
+                  cfg.n_experts)
+    ks = jax.random.split(key, 4)
+
+    def w(k, shape, scale=0.02):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    return {
+        "router": w(ks[0], (L, D, E)),
+        "wgate": w(ks[1], (L, E, D, I)),
+        "wup": w(ks[2], (L, E, D, I)),
+        "wdown": w(ks[3], (L, E, I, D)),
+    }
+
+
+def _expert_ffn(y, wg, wu, wd):
+    """SwiGLU through one expert's weights. y: [..., D]."""
+    gate = jnp.matmul(y, wg, preferred_element_type=jnp.float32)
+    up = jnp.matmul(y, wu, preferred_element_type=jnp.float32)
+    inter = (jax.nn.silu(gate) * up).astype(y.dtype)
+    return jnp.matmul(inter, wd, preferred_element_type=jnp.float32).astype(y.dtype)
+
+
+def moe_ffn(y, lp, cfg: ModelConfig):
+    """y: [B, S, D] -> [B, S, D]."""
+    k = cfg.n_experts_per_tok
+    router_logits = jnp.matmul(
+        y, lp["router"], preferred_element_type=jnp.float32
+    )                                                # [B, S, E]
+    top_vals, top_idx = jax.lax.top_k(router_logits, k)
+    weights = jax.nn.softmax(top_vals, axis=-1)       # normalized over top-k
+
+    b, s, d = y.shape
+    if s == 1 and b == 1:
+        # decode: gather only the routed experts' weights
+        idx = top_idx[0, 0]                           # [k]
+        wg = lp["wgate"][idx]                         # [k, D, I]
+        wu = lp["wup"][idx]
+        wd = lp["wdown"][idx]
+        outs = jax.vmap(lambda g, u, dn: _expert_ffn(y[0, 0], g, u, dn))(
+            wg, wu, wd
+        )                                             # [k, D]
+        out = jnp.sum(outs * weights[0, 0][:, None].astype(y.dtype), axis=0)
+        return out[None, None, :]
+
+    # prefill: run every expert, combine by routing weights
+    all_out = jax.vmap(
+        lambda g, u, dn: _expert_ffn(y, g, u, dn),
+        in_axes=0, out_axes=0,
+    )(lp["wgate"], lp["wup"], lp["wdown"])            # [E, B, S, D]
+    onehot = jax.nn.one_hot(top_idx, cfg.n_experts, dtype=jnp.float32)
+    combine = jnp.einsum("bske,bsk->ebs", onehot, weights)  # [E, B, S]
+    return jnp.einsum(
+        "ebsd,ebs->bsd", all_out.astype(jnp.float32), combine
+    ).astype(y.dtype)

@@ -93,6 +93,72 @@ def block_gather_gemv(idx, xpack, w, *, G: int, k_keep: int,
     return out[:1].astype(out_dtype)
 
 
+def effective_block_size(G: int, K: int) -> int:
+    """Grid steps cost a fixed ~200 ns regardless of slab size (measured),
+    so deep input dims double the group size to keep the per-step DMA
+    large enough to amortize it (e.g. down-proj K=11008: G 32 -> 64)."""
+    g = G
+    while K // g > 256 and K % (g * 2) == 0:
+        g *= 2
+    return g
+
+
+def _gemv_kernel_multi(idx_ref, x_ref, *refs, G: int, n_w: int):
+    i = pl.program_id(0)
+    w_refs, o_refs = refs[:n_w], refs[n_w:]
+    xi = x_ref[0][:, :G]
+
+    for w_ref, o_ref in zip(w_refs, o_refs):
+        @pl.when(i == 0)
+        def _(o_ref=o_ref):
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        wb = w_ref[...]
+        if wb.dtype == jnp.int8:
+            wb = wb.astype(jnp.bfloat16)
+        o_ref[...] += jax.lax.dot_general(
+            xi, wb,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("G", "k_keep", "out_dtype"))
+def block_gather_gemv_multi(idx, xpack, ws, *, G: int, k_keep: int,
+                            out_dtype=jnp.bfloat16):
+    """Fused multi-weight gather GEMV: one grid pass gathers each kept
+    G-row slab from EVERY weight and accumulates all outputs — the
+    TPU analog of the reference's fused-QKV kernel
+    (`kernels/sparse_gemv.py:147-237`), generalized to any same-input
+    projection group (q/k/v or gate/up). One launch and one selection
+    replace 2-3, and the per-step DMA is proportionally larger."""
+    ws = tuple(ws)
+    n_w = len(ws)
+    Ns = [w.shape[1] for w in ws]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(k_keep,),
+        in_specs=[pl.BlockSpec((1, SUBLANES, LANES), lambda i, ir: (i, 0, 0))]
+        + [pl.BlockSpec((G, N), lambda i, ir: (ir[i], 0)) for N in Ns],
+        out_specs=[pl.BlockSpec((SUBLANES, N), lambda i, ir: (0, 0))
+                   for N in Ns],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_gemv_kernel_multi, G=G, n_w=n_w),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((SUBLANES, N), jnp.float32)
+                   for N in Ns],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * SUBLANES * k_keep * G * sum(Ns),
+            bytes_accessed=k_keep * G * sum(N * w.dtype.itemsize
+                                            for N, w in zip(Ns, ws)),
+            transcendentals=0,
+        ),
+    )(idx, xpack, *ws)
+    return [o[:1].astype(out_dtype) for o in outs]
+
+
 def group_scores(x, G: int):
     """Per-group max-|x| score. x: [1, K] -> [K//G]."""
     return jnp.max(jnp.abs(x).reshape(-1, G), axis=-1)
@@ -128,8 +194,8 @@ def block_sparse_matmul(x, w, threshold, block_size: int = 32,
     margin over 50% sparsity). The dispatcher in `sparse_gemv` passes the
     configured value.
     """
-    G = block_size
     K, N = w.shape
+    G = effective_block_size(block_size, K)
     nb = K // G
     k_keep = max(1, min(nb, int(round(nb * (keep_frac if keep_frac else 0.625)))))
     lead = x.shape[:-1]
@@ -148,18 +214,22 @@ def project_many(x, ws, block_size: int = 32,
     Group selection runs once and is reused, the analog of the reference's
     fused-QKV kernel sharing one activation load
     (`kernels/sparse_gemv.py:147-237`)."""
-    G = block_size
     K = x.shape[-1]
+    G = effective_block_size(block_size, K)
     nb = K // G
     k_keep = max(1, min(nb, int(round(nb * (keep_frac if keep_frac else 0.625)))))
     lead = x.shape[:-1]
     xf = x.reshape(1, K)
     idx, xpack = select_groups(xf, G, k_keep)
+    quantized = [isinstance(w, dict) for w in ws]
+    raw = [w["q"] if q else w for w, q in zip(ws, quantized)]
+    ys = block_gather_gemv_multi(idx, xpack, raw, G=G, k_keep=k_keep,
+                                 out_dtype=jnp.float32)
     outs = []
-    for w in ws:
-        y = block_gather_gemv(idx, xpack, w, G=G, k_keep=k_keep,
-                              out_dtype=x.dtype)
-        outs.append(y.reshape(*lead, w.shape[1]))
+    for y, w, q in zip(ys, ws, quantized):
+        if q:
+            y = y * w["scale"][None, :]
+        outs.append(y.astype(x.dtype).reshape(*lead, y.shape[-1]))
     return outs
 
 
@@ -167,8 +237,8 @@ def block_sparse_matmul_reference(x, w, threshold, block_size: int = 32,
                                   keep_frac: Optional[float] = None):
     """Pure-jnp semantics twin of `block_sparse_matmul` (tests/accuracy
     path): same group selection, dense math."""
-    G = block_size
     K, N = w.shape
+    G = effective_block_size(block_size, K)
     nb = K // G
     k_keep = max(1, min(nb, int(round(nb * (keep_frac if keep_frac else 0.625)))))
     lead = x.shape[:-1]

@@ -1,0 +1,191 @@
+"""Weight-only quantization (int8 per-channel, int4 groupwise).
+
+Capability parity with the reference's PTQ stack (`gpt-fast/quantize.py`):
+  - int8: symmetric per-output-channel scales
+    (`dynamically_quantize_per_channel` :24-56, `WeightOnlyInt8Linear`
+    forward = matmul in compute dtype then scale, :354-355);
+  - int4: groupwise affine over the input dim with (scales, zeros) packed
+    per group (`group_quantize_tensor` :58-162, `WeightOnlyInt4Linear`).
+
+Improvement over the reference (README.md:110 "Quantized sparse kernels are
+not currently supported"): the block-sparse decode kernel has a fused
+dequant variant — int8 weight slabs are gathered and dequantized in-kernel,
+halving sparse-decode HBM traffic again.
+
+Our weight layout is [in, out] (x @ w), so "per-channel" scales live on the
+output axis (axis 1) and int4 groups run along the input axis (axis 0).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class Int8Weight(NamedTuple):
+    q: jax.Array       # [K, N] int8
+    scale: jax.Array   # [N] f32
+
+
+class Int4Weight(NamedTuple):
+    q: jax.Array       # [K, N] int8 holding values in [-8, 7]
+    scale: jax.Array   # [K // group, N] f32
+    zero: jax.Array    # [K // group, N] f32 (affine zero point)
+    group: int
+
+
+def quantize_int8(w) -> Int8Weight:
+    """Symmetric per-output-channel int8."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=0)                 # [N]
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(wf / scale[None, :]), -128, 127).astype(jnp.int8)
+    return Int8Weight(q=q, scale=scale)
+
+
+def dequantize_int8(wq: Int8Weight, dtype=jnp.bfloat16):
+    return (wq.q.astype(jnp.float32) * wq.scale[None, :]).astype(dtype)
+
+
+def int8_matmul(x, wq: Int8Weight):
+    """Dense path: matmul in compute dtype, then per-channel scale
+    (reference WeightOnlyInt8Linear.forward, quantize.py:354-355)."""
+    y = jnp.matmul(x, wq.q.astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    return (y * wq.scale[None, :]).astype(x.dtype)
+
+
+def quantize_int4(w, group: int = 128) -> Int4Weight:
+    """Groupwise affine int4 along the input dim (reference group quant,
+    quantize.py:58-162; groups of `group` input channels share
+    scale/zero)."""
+    K, N = w.shape
+    assert K % group == 0, (K, group)
+    wf = w.astype(jnp.float32).reshape(K // group, group, N)
+    wmax = wf.max(axis=1)                                # [K//g, N]
+    wmin = wf.min(axis=1)
+    scale = jnp.maximum((wmax - wmin) / 15.0, 1e-8)
+    zero = wmin
+    q = jnp.clip(jnp.round((wf - zero[:, None, :]) / scale[:, None, :]),
+                 0, 15) - 8
+    return Int4Weight(
+        q=q.reshape(K, N).astype(jnp.int8),
+        scale=scale, zero=zero, group=group,
+    )
+
+
+def dequantize_int4(wq: Int4Weight, dtype=jnp.bfloat16):
+    K, N = wq.q.shape
+    g = wq.group
+    qf = (wq.q.astype(jnp.float32) + 8.0).reshape(K // g, g, N)
+    wf = qf * wq.scale[:, None, :] + wq.zero[:, None, :]
+    return wf.reshape(K, N).astype(dtype)
+
+
+def int4_matmul(x, wq: Int4Weight):
+    """Dense path: dequantize-then-matmul (XLA fuses the dequant into the
+    matmul's operand read)."""
+    return jnp.matmul(x, dequantize_int4(wq, x.dtype),
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+# -- fused dequant + block-sparse gather GEMV (int8) --------------------------
+
+from teal_tpu.ops.block_gemv import (    # noqa: E402
+    LANES, SUBLANES, effective_block_size, select_groups,
+)
+
+
+def _int8_gemv_kernel(idx_ref, x_ref, w_ref, o_ref, *, G: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    xi = x_ref[0][:, :G]                          # [8, G]
+    wb = w_ref[...].astype(jnp.bfloat16)          # [G, N] int8 -> bf16
+    o_ref[...] += jax.lax.dot_general(
+        xi, wb,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("G", "k_keep", "out_dtype"))
+def int8_block_gather_gemv(idx, xpack, q, scale, *, G: int, k_keep: int,
+                           out_dtype=jnp.bfloat16):
+    """Fused gather + int8 dequant GEMV: per-channel scale applied once at
+    the end (scales are per-output-channel, so they commute with the sum
+    over input groups)."""
+    K, N = q.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(k_keep,),
+        in_specs=[
+            pl.BlockSpec((1, SUBLANES, LANES), lambda i, ir: (i, 0, 0)),
+            pl.BlockSpec((G, N), lambda i, ir: (ir[i], 0)),
+        ],
+        out_specs=pl.BlockSpec((SUBLANES, N), lambda i, ir: (0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_int8_gemv_kernel, G=G),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((SUBLANES, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * SUBLANES * k_keep * G * N,
+            bytes_accessed=k_keep * G * N,
+            transcendentals=0,
+        ),
+    )(idx, xpack, q)
+    return (out[:1] * scale[None, :]).astype(out_dtype)
+
+
+def int8_block_sparse_matmul(x, wq: Int8Weight, block_size: int = 32,
+                             keep_frac: Optional[float] = None):
+    """Sparse + quantized decode projection (new capability vs reference,
+    README.md:110)."""
+    K, N = wq.q.shape
+    G = effective_block_size(block_size, K)
+    nb = K // G
+    k_keep = max(1, min(nb, int(round(nb * (keep_frac if keep_frac else 0.625)))))
+    lead = x.shape[:-1]
+    idx, xpack = select_groups(x.reshape(1, K), G, k_keep)
+    y = int8_block_gather_gemv(idx, xpack, wq.q, wq.scale, G=G,
+                               k_keep=k_keep, out_dtype=x.dtype)
+    return y.reshape(*lead, N)
+
+
+# -- whole-model quantization -------------------------------------------------
+
+_QUANT_KEYS = ("wq", "wk", "wv", "wo", "wgate", "wup", "wdown")
+
+
+def quantize_params_int8(params) -> Dict:
+    """Quantize the seven projection stacks to int8 (per layer, per
+    channel). Returns a params pytree where each projection leaf becomes
+    {"q": int8 [L,K,N], "scale": f32 [L,N]}; norms/embeddings stay as-is
+    (reference also leaves them unquantized)."""
+    out = {k: v for k, v in params.items() if k != "layers"}
+    layers = {}
+    for name, stack in params["layers"].items():
+        if name in _QUANT_KEYS:
+            qs, ss = [], []
+            for l in range(stack.shape[0]):
+                wq = quantize_int8(stack[l])
+                qs.append(wq.q)
+                ss.append(wq.scale)
+            layers[name] = {"q": jnp.stack(qs), "scale": jnp.stack(ss)}
+        else:
+            layers[name] = stack
+    out["layers"] = layers
+    return out
+
+
+def param_is_quantized(leaf) -> bool:
+    return isinstance(leaf, dict) and "q" in leaf and "scale" in leaf

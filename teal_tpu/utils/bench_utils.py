@@ -1,19 +1,20 @@
 """Trustworthy on-device timing.
 
-The execution environment can memoize repeated executions with identical
-(executable, inputs), and XLA hoists loop-invariant computations — both make
-naive repeat-timing loops report impossible numbers (observed: "52 PFLOP/s"
-matmuls). `bench_chained` defends against both:
+This runtime's execution pipeline is fully asynchronous and
+`block_until_ready` is NOT a reliable sync point (observed returning in
+<1 ms for 300+ ms programs); only a host transfer (`device_get`) reliably
+drains execution. XLA additionally hoists loop-invariant work, and naive
+repeat-timing with identical inputs can hit result caches. `bench_chained`
+defends against all three:
 
-  - the op runs inside a `lax.scan` whose carry feeds each iteration's input
-    from the previous iteration's output (no LICM, no elision);
+  - the op runs inside a `lax.scan` whose carry feeds each iteration's
+    input from the previous iteration's output (no LICM, no elision);
+  - the jitted runner reduces its carry to scalars, and every timed call
+    is synced by `device_get` of those scalars (a few bytes);
   - the two timed calls use different fresh inputs and different static
-    lengths; the per-step time is the SLOPE (t_long - t_short)/(n_long -
-    n_short), cancelling dispatch/RPC fixed overhead (measured at ~25 ms
-    per launch on the tunneled chip — choose n_long so the signal
-    n_long*per_step_time comfortably exceeds launch jitter);
-  - a linearity check flags residual caching (negative or wildly sublinear
-    slope).
+    lengths; per-step time is the SLOPE (t_long - t_short)/(n_long -
+    n_short), cancelling launch/RPC fixed overhead;
+  - a linearity check flags non-positive slopes (caching suspected).
 
 This replaces the reference's CUDA-event + L2-flush harness
 (`kernels/kernel_utils.py:4-50`) with TPU-appropriate machinery.
@@ -26,6 +27,13 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def sync(tree):
+    """Reliable execution barrier: host-fetch (device_get) of the tree.
+    Prefer reducing to scalars before calling this on large arrays."""
+    return jax.device_get(tree)
 
 
 def bench_chained(
@@ -49,31 +57,34 @@ def bench_chained(
                 return step_fn(c), ()
 
             c, _ = jax.lax.scan(body, c, None, length=n)
-            return c
+            # reduce to scalars so the sync transfer is a few bytes
+            return jax.tree.map(
+                lambda a: jnp.sum(a.astype(jnp.float32)), c
+            )
 
         return run
 
     run_s, run_l = make(n_short), make(n_long)
 
     def fresh(i):
-        # Perturb the carry so no two timed calls share input buffers.
+        # Perturb the carry so no two timed calls share input values.
         return jax.tree.map(
             lambda a: a + jnp.asarray(1e-6 * (i + 1), a.dtype)
             if jnp.issubdtype(a.dtype, jnp.floating) else a,
             carry0,
         )
 
-    # compile + warm
-    jax.block_until_ready(run_s(fresh(0)))
-    jax.block_until_ready(run_l(fresh(1)))
+    # compile + warm (device_get is the only reliable sync)
+    sync(run_s(fresh(0)))
+    sync(run_l(fresh(1)))
 
     slopes = []
     for r in range(reps):
         cs, cl = fresh(2 + 2 * r), fresh(3 + 2 * r)
         t0 = time.perf_counter()
-        jax.block_until_ready(run_s(cs))
+        sync(run_s(cs))
         t1 = time.perf_counter()
-        jax.block_until_ready(run_l(cl))
+        sync(run_l(cl))
         t2 = time.perf_counter()
         slopes.append(((t2 - t1) - (t1 - t0)) / (n_long - n_short))
     slopes.sort()
@@ -84,17 +95,3 @@ def bench_chained(
             "make step_fn's input depend on its previous output"
         )
     return slope
-
-
-def chain_matmul_step(w, x0):
-    """Standard chained-GEMV step: y = x @ w, next x perturbed by y."""
-
-    def step(x):
-        y = jnp.matmul(x, w, preferred_element_type=jnp.float32)
-        k = x.shape[-1]
-        feed = y[..., :k] if y.shape[-1] >= k else jnp.pad(
-            y, [(0, 0)] * (y.ndim - 1) + [(0, k - y.shape[-1])]
-        )
-        return (x0 + 1e-20 * feed).astype(x.dtype)
-
-    return step

@@ -123,3 +123,40 @@ def test_dispatch_modes(xw):
     dense = jnp.matmul(x, w, preferred_element_type=jnp.float32)
     np.testing.assert_allclose(np.asarray(y), np.asarray(dense),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_project_many_fused_matches_single():
+    key = jax.random.PRNGKey(3)
+    kx, k1, k2, k3 = jax.random.split(key, 4)
+    x = jax.random.normal(kx, (1, 1, 256), jnp.float32)
+    ws = [jax.random.normal(k, (256, 128 * m), jnp.float32)
+          for k, m in ((k1, 1), (k2, 2), (k3, 1))]
+    outs = block_gemv.project_many(x, ws, block_size=16, keep_frac=0.5)
+    for w, y in zip(ws, outs):
+        ref = block_gemv.block_sparse_matmul(x, w, None, 16, 0.5)
+        assert y.shape == (1, 1, w.shape[1])
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_decode_with_block_kernel_matches_masked_reference():
+    """Full tiny-but-block-compatible model decode through the fused path."""
+    from teal_tpu.config import get_model_config
+    from teal_tpu.models import llama
+    from teal_tpu.models.llama import KVCache
+
+    cfg = get_model_config("tiny", dim=256, intermediate_size=512,
+                           n_heads=4, n_kv_heads=2, vocab_size=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    tok = jnp.array([[7]], jnp.int32)
+    sp_block = SparsityConfig(enabled=True, kernel="block", block_size=16,
+                              block_keep_frac=1.0)
+    cache = KVCache.init(cfg, 1, 8, jnp.float32)
+    got, _ = llama.forward(params, tok, cache, 0,
+                           llama.zero_thresholds(cfg), cfg=cfg, sp=sp_block)
+    cache = KVCache.init(cfg, 1, 8, jnp.float32)
+    ref, _ = llama.forward(params, tok, cache, 0,
+                           llama.zero_thresholds(cfg), cfg=cfg,
+                           sp=SparsityConfig())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-3)
