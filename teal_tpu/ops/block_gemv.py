@@ -38,22 +38,6 @@ LANES = 128
 SUBLANES = 8
 
 
-def _gemv_kernel(idx_ref, x_ref, w_ref, o_ref, *, G: int):
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        o_ref[...] = jnp.zeros_like(o_ref)
-
-    xi = x_ref[0][:, :G]                 # [8, G] (replicated sublanes)
-    o_ref[...] += jax.lax.dot_general(
-        xi, w_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-
-@functools.partial(jax.jit, static_argnames=("G", "k_keep", "out_dtype"))
 def block_gather_gemv(idx, xpack, w, *, G: int, k_keep: int,
                       out_dtype=jnp.bfloat16):
     """y[1, N] = sum over kept groups of xpack[g] @ w[G-slab g].
@@ -70,27 +54,8 @@ def block_gather_gemv(idx, xpack, w, *, G: int, k_keep: int,
             f"K={K}, N={N}, G={G} (model dims too small for block mode — "
             "use kernel='masked_dense')"
         )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(k_keep,),
-        in_specs=[
-            pl.BlockSpec((1, SUBLANES, LANES), lambda i, ir: (i, 0, 0)),
-            pl.BlockSpec((G, N), lambda i, ir: (ir[i], 0)),
-        ],
-        out_specs=pl.BlockSpec((SUBLANES, N), lambda i, ir: (0, 0)),
-    )
-    out = pl.pallas_call(
-        functools.partial(_gemv_kernel, G=G),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((SUBLANES, N), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * SUBLANES * k_keep * G * N,
-            bytes_accessed=k_keep * G * N * w.dtype.itemsize,
-            transcendentals=0,
-        ),
-    )(idx, xpack, w)
-    return out[:1].astype(out_dtype)
+    return block_gather_gemv_multi(idx, xpack, (w,), G=G, k_keep=k_keep,
+                                   out_dtype=out_dtype)[0]
 
 
 def effective_block_size(G: int, K: int) -> int:
@@ -103,60 +68,128 @@ def effective_block_size(G: int, K: int) -> int:
     return g
 
 
-def _gemv_kernel_multi(idx_ref, x_ref, *refs, G: int, n_w: int):
-    i = pl.program_id(0)
-    w_refs, o_refs = refs[:n_w], refs[n_w:]
-    xi = x_ref[0][:, :G]
+def _manual_gather_kernel(idx_ref, x_ref, *refs, G: int, Ns, k_keep: int,
+                          depth: int, dtypes):
+    """Triple-buffered explicit-DMA gather over kept groups.
 
-    for w_ref, o_ref in zip(w_refs, o_refs):
-        @pl.when(i == 0)
-        def _(o_ref=o_ref):
-            o_ref[...] = jnp.zeros_like(o_ref)
+    For each kept group j, one DMA per weight copies its contiguous
+    [G, N_w] slab into the slot buffer's column range; one MXU dot per
+    weight accumulates into the fp32 VMEM accumulator. Explicit `depth`-
+    deep buffering keeps `depth-1` group-gathers in flight — measured
+    ~8% faster than the Pallas grid pipeline at these shapes (93% of HBM
+    peak; experiments/block_tune.py)."""
+    n_w = len(Ns)
+    w_refs = refs[:n_w]
+    o_ref = refs[n_w]
+    offs = [0]
+    for N in Ns:
+        offs.append(offs[-1] + N)
 
-        wb = w_ref[...]
-        if wb.dtype == jnp.int8:
-            wb = wb.astype(jnp.bfloat16)
-        o_ref[...] += jax.lax.dot_general(
-            xi, wb,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    def body(*scoped):
+        bufs = scoped[:n_w]
+        sems = scoped[n_w]
+        acc = scoped[n_w + 1]
+
+        def src_slab(wi, j):
+            # dynamic G-row slab of the 2D [K, N] weight; start is a
+            # multiple of G (>= sublane tile), so the slab is whole
+            # contiguous tile-rows in HBM
+            start_row = pl.multiple_of(idx_ref[j] * G, G)
+            return w_refs[wi].at[pl.ds(start_row, G), :]
+
+        def start(slot, j):
+            for wi in range(n_w):
+                pltpu.make_async_copy(
+                    src_slab(wi, j),
+                    bufs[wi].at[slot],
+                    sems.at[slot, wi],
+                ).start()
+
+        for j in range(min(depth - 1, k_keep)):
+            start(j, j)
+
+        acc[...] = jnp.zeros_like(acc)
+
+        def loop(j, _):
+            slot = jax.lax.rem(j, depth)
+
+            @pl.when(j + depth - 1 < k_keep)
+            def _():
+                start(jax.lax.rem(j + depth - 1, depth), j + depth - 1)
+
+            xi = x_ref[j][:, :G]
+            for wi in range(n_w):
+                pltpu.make_async_copy(
+                    src_slab(wi, j),
+                    bufs[wi].at[slot],
+                    sems.at[slot, wi],
+                ).wait()
+                wb = bufs[wi][slot]
+                if wb.dtype != jnp.bfloat16 and wb.dtype != jnp.float32:
+                    wb = wb.astype(jnp.bfloat16)
+                acc[:, offs[wi]:offs[wi + 1]] += jax.lax.dot_general(
+                    xi, wb,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return ()
+
+        jax.lax.fori_loop(0, k_keep, loop, ())
+        o_ref[...] = acc[...]
+
+    pl.run_scoped(
+        body,
+        *[pltpu.VMEM((depth, G, N), dt) for N, dt in zip(Ns, dtypes)],
+        pltpu.SemaphoreType.DMA((depth, n_w)),
+        pltpu.VMEM((SUBLANES, offs[-1]), jnp.float32),
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("G", "k_keep", "out_dtype"))
+@functools.partial(jax.jit, static_argnames=("G", "k_keep", "out_dtype",
+                                             "depth"))
 def block_gather_gemv_multi(idx, xpack, ws, *, G: int, k_keep: int,
-                            out_dtype=jnp.bfloat16):
-    """Fused multi-weight gather GEMV: one grid pass gathers each kept
-    G-row slab from EVERY weight and accumulates all outputs — the
-    TPU analog of the reference's fused-QKV kernel
-    (`kernels/sparse_gemv.py:147-237`), generalized to any same-input
-    projection group (q/k/v or gate/up). One launch and one selection
-    replace 2-3, and the per-step DMA is proportionally larger."""
+                            out_dtype=jnp.bfloat16, depth: int = 3):
+    """Fused multi-weight gather GEMV: one launch gathers each kept G-row
+    slab from EVERY weight (q/k/v or gate/up share one selection and one
+    kernel — the TPU analog of the reference's fused-QKV kernel,
+    `kernels/sparse_gemv.py:147-237`). Weights stay separate arrays, so
+    tensor-parallel sharding specs are untouched. Returns a list of
+    [1, N_w] outputs."""
     ws = tuple(ws)
-    n_w = len(ws)
-    Ns = [w.shape[1] for w in ws]
+    Ns = tuple(int(w.shape[1]) for w in ws)
+    dtypes = tuple(w.dtype for w in ws)
+    K = ws[0].shape[0]
+    nb = K // G
+    n_tot = sum(Ns)
 
+    kernel = functools.partial(
+        _manual_gather_kernel, G=G, Ns=Ns, k_keep=k_keep, depth=depth,
+        dtypes=dtypes,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(k_keep,),
-        in_specs=[pl.BlockSpec((1, SUBLANES, LANES), lambda i, ir: (i, 0, 0))]
-        + [pl.BlockSpec((G, N), lambda i, ir: (ir[i], 0)) for N in Ns],
-        out_specs=[pl.BlockSpec((SUBLANES, N), lambda i, ir: (0, 0))
-                   for N in Ns],
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in ws],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
-    outs = pl.pallas_call(
-        functools.partial(_gemv_kernel_multi, G=G, n_w=n_w),
+    out = pl.pallas_call(
+        kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((SUBLANES, N), jnp.float32)
-                   for N in Ns],
+        out_shape=jax.ShapeDtypeStruct((SUBLANES, n_tot), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * SUBLANES * k_keep * G * sum(Ns),
+            flops=2 * SUBLANES * k_keep * G * n_tot,
             bytes_accessed=k_keep * G * sum(N * w.dtype.itemsize
                                             for N, w in zip(Ns, ws)),
             transcendentals=0,
         ),
     )(idx, xpack, *ws)
-    return [o[:1].astype(out_dtype) for o in outs]
+    outs = []
+    off = 0
+    for N in Ns:
+        outs.append(out[:1, off:off + N].astype(out_dtype))
+        off += N
+    return outs
 
 
 def group_scores(x, G: int):
@@ -174,14 +207,19 @@ def select_groups(x, G: int, k_keep: int,
     k_keep; beyond-capacity survivors are dropped lowest-score-first).
     """
     nb = x.shape[-1] // G
-    s = group_scores(x, G)
-    top_s, idx = jax.lax.top_k(s, k_keep)
-    idx = jnp.sort(idx)
-    xg = x.reshape(nb, G)[idx]                       # [k_keep, G]
-    if threshold is not None:
-        keep = s[idx] > threshold
-        xg = jnp.where(keep[:, None], xg, 0)
-    xpack = jnp.zeros((k_keep, SUBLANES, LANES), x.dtype)
+    if k_keep >= nb:
+        # dense fast path: every group kept — no scoring/top-k needed
+        idx = jnp.arange(nb, dtype=jnp.int32)
+        xg = x.reshape(nb, G)
+    else:
+        s = group_scores(x, G)
+        top_s, idx = jax.lax.top_k(s, k_keep)
+        idx = jnp.sort(idx)
+        xg = x.reshape(nb, G)[idx]                   # [k_keep, G]
+        if threshold is not None:
+            keep = s[idx] > threshold
+            xg = jnp.where(keep[:, None], xg, 0)
+    xpack = jnp.zeros((xg.shape[0], SUBLANES, LANES), x.dtype)
     xpack = xpack.at[:, :, :G].set(xg[:, None, :])
     return idx.astype(jnp.int32), xpack
 

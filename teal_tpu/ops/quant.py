@@ -101,49 +101,17 @@ from teal_tpu.ops.block_gemv import (    # noqa: E402
 )
 
 
-def _int8_gemv_kernel(idx_ref, x_ref, w_ref, o_ref, *, G: int):
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        o_ref[...] = jnp.zeros_like(o_ref)
-
-    xi = x_ref[0][:, :G]                          # [8, G]
-    wb = w_ref[...].astype(jnp.bfloat16)          # [G, N] int8 -> bf16
-    o_ref[...] += jax.lax.dot_general(
-        xi, wb,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-
-@functools.partial(jax.jit, static_argnames=("G", "k_keep", "out_dtype"))
 def int8_block_gather_gemv(idx, xpack, q, scale, *, G: int, k_keep: int,
                            out_dtype=jnp.bfloat16):
-    """Fused gather + int8 dequant GEMV: per-channel scale applied once at
-    the end (scales are per-output-channel, so they commute with the sum
-    over input groups)."""
-    K, N = q.shape
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(k_keep,),
-        in_specs=[
-            pl.BlockSpec((1, SUBLANES, LANES), lambda i, ir: (i, 0, 0)),
-            pl.BlockSpec((G, N), lambda i, ir: (ir[i], 0)),
-        ],
-        out_specs=pl.BlockSpec((SUBLANES, N), lambda i, ir: (0, 0)),
-    )
-    out = pl.pallas_call(
-        functools.partial(_int8_gemv_kernel, G=G),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((SUBLANES, N), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * SUBLANES * k_keep * G * N,
-            bytes_accessed=k_keep * G * N,
-            transcendentals=0,
-        ),
-    )(idx, xpack, q)
-    return (out[:1] * scale[None, :]).astype(out_dtype)
+    """Fused gather + int8 dequant GEMV: int8 slabs are gathered and
+    converted in-VMEM (halving sparse-decode HBM traffic vs bf16); the
+    per-channel scale is applied once at the end (per-output-channel
+    scales commute with the sum over input groups)."""
+    from teal_tpu.ops.block_gemv import block_gather_gemv_multi
+
+    out = block_gather_gemv_multi(idx, xpack, (q,), G=G, k_keep=k_keep,
+                                  out_dtype=jnp.float32)[0]
+    return (out * scale[None, :]).astype(out_dtype)
 
 
 def int8_block_sparse_matmul(x, wq: Int8Weight, block_size: int = 32,

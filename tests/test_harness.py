@@ -1,0 +1,72 @@
+"""Eval-harness adapter + profiling utility tests."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from teal_tpu.config import get_model_config
+from teal_tpu.eval.harness import ScoreModel
+from teal_tpu.models import llama
+from teal_tpu.utils.profiling import trace, write_metrics
+
+
+@pytest.fixture(scope="module")
+def sm():
+    cfg = get_model_config("tiny")
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    return cfg, params, ScoreModel(params, cfg, max_seq=64)
+
+
+def test_loglikelihood_consistency(sm):
+    """Sum of continuation token logprobs must match a manual forward."""
+    cfg, params, model = sm
+    ctx, cont = [1, 2, 3], [4, 5]
+    total, _ = model.loglikelihood(ctx, cont)
+    assert total < 0
+
+    # manual check
+    from teal_tpu.models.llama import KVCache
+    from teal_tpu.config import SparsityConfig
+
+    ids = jnp.asarray([ctx + cont], jnp.int32)
+    cache = KVCache.init(cfg, 1, 8, jnp.float32)
+    logits, _ = llama.forward(params, ids, cache, 0,
+                              llama.zero_thresholds(cfg), cfg=cfg,
+                              sp=SparsityConfig())
+    logp = jax.nn.log_softmax(logits[0, :-1], axis=-1)
+    manual = sum(float(logp[i, ids[0, i + 1]]) for i in (2, 3))
+    assert total == pytest.approx(manual, rel=1e-4)
+
+
+def test_longer_continuation_lower_likelihood(sm):
+    _, _, model = sm
+    l1, _ = model.loglikelihood([1, 2], [3])
+    l2, _ = model.loglikelihood([1, 2], [3, 4, 5, 6])
+    assert l2 < l1
+
+
+def test_score_choices_picks_argmax(sm):
+    _, _, model = sm
+    choices = [[4], [5], [6]]
+    best = model.score_choices([1, 2, 3], choices)
+    scores = [model.loglikelihood([1, 2, 3], c)[0] for c in choices]
+    assert best == int(np.argmax(scores))
+
+
+def test_write_metrics_and_trace(tmp_path):
+    path = str(tmp_path / "metrics.jsonl")
+    write_metrics(path, {"metric": "x", "value": 1})
+    write_metrics(path, {"metric": "y", "value": 2})
+    lines = [json.loads(l) for l in open(path)]
+    assert len(lines) == 2 and lines[0]["metric"] == "x"
+    assert "ts" in lines[0]
+
+    with trace(None):
+        pass  # no-op path
+    with trace(str(tmp_path / "tr")):
+        jnp.ones((4,)).sum().block_until_ready()
+    assert os.path.isdir(tmp_path / "tr")
