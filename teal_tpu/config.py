@@ -186,6 +186,11 @@ class SparsityConfig:
 
     enabled: bool = False
     kernel: str = "masked_dense"
+    # sparsity rule: "teal" = elementwise |x| > t (reference semantics);
+    # "group" = per-position top-k channel-group selection (the block
+    # kernel's semantics — use with the masked-dense path to measure its
+    # accuracy cost)
+    mode: str = "teal"
     # Prefill policy (reference `utils/utils.py:32-49`): the fast engine runs
     # prefill fully dense; the accuracy path optionally sparsifies only the
     # trailing `prefill_fraction` of prefill positions.

@@ -1,0 +1,179 @@
+"""Continuous batching: slot-based serving engine.
+
+The reference engine is strictly one-request-at-a-time (batch=1 CLI,
+`gpt-fast/generate.py`); this adds the serving layer the north star asks
+for: a fixed pool of KV-cache slots, per-slot sequence positions (the
+model's `pos: [B]` support), one jitted batched decode step for all active
+slots, and slot-local prefill that scatters a fresh prompt's KV into the
+shared cache. Requests join as slots free up — no pipeline flush between
+requests.
+
+Host-side scheduling is deliberately simple (FIFO admission); the device
+work is two compiled programs (prefill-into-slot, batched decode step)
+regardless of request mix.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from teal_tpu.config import ModelConfig, SparsityConfig
+from teal_tpu.engine import sampling
+from teal_tpu.models import llama
+from teal_tpu.models.llama import KVCache
+
+
+@dataclass
+class Request:
+    id: int
+    prompt: List[int]
+    max_new_tokens: int
+    out: List[int] = field(default_factory=list)
+    done: bool = False
+    submitted_at: float = field(default_factory=time.time)
+
+
+def _pad_len(n: int) -> int:
+    p = 8
+    while p < n:
+        p *= 2
+    return p
+
+
+class ContinuousBatchingEngine:
+    def __init__(self, cfg: ModelConfig, params, *, slots: int = 4,
+                 max_seq: int = 2048, sp: SparsityConfig = SparsityConfig(),
+                 thresholds=None, temperature: float = 0.0,
+                 top_k: Optional[int] = None, eos_id: Optional[int] = None,
+                 cache_dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.params = params
+        self.slots = slots
+        self.max_seq = max_seq
+        self.sp = sp
+        self.thresholds = (thresholds if thresholds is not None
+                           else llama.zero_thresholds(cfg))
+        self.temperature = temperature
+        self.top_k = top_k
+        self.eos_id = eos_id
+        self.cache = KVCache.init(cfg, slots, max_seq, cache_dtype)
+
+        self.pos = np.zeros(slots, np.int32)          # next write position
+        self.cur = np.zeros(slots, np.int32)          # next input token
+        self.active: List[Optional[Request]] = [None] * slots
+        self.queue: List[Request] = []
+        self.finished: List[Request] = []
+        self._next_id = 0
+        self._key = jax.random.PRNGKey(0)
+
+        dense_prefill_sp = sp if sp.apply_prefill else sp.replace(enabled=False)
+
+        @functools.partial(jax.jit, static_argnames=("true_len", "pad"))
+        def prefill_slot(params, cache, tokens, slot, thresholds, key,
+                         true_len: int, pad: int):
+            """Prefill one prompt with a batch-1 forward, scatter its KV
+            into the shared cache at `slot`, return the first sampled
+            token."""
+            sub = KVCache(
+                k=jnp.zeros((cfg.n_layers, 1) + cache.k.shape[2:], cache.k.dtype),
+                v=jnp.zeros((cfg.n_layers, 1) + cache.v.shape[2:], cache.v.dtype),
+            )
+            logits, sub = llama.forward(
+                params, tokens, sub, 0, thresholds,
+                cfg=cfg, sp=dense_prefill_sp,
+            )
+            k = jax.lax.dynamic_update_slice_in_dim(cache.k, sub.k, slot, axis=1)
+            v = jax.lax.dynamic_update_slice_in_dim(cache.v, sub.v, slot, axis=1)
+            tok = sampling.sample(key, logits[0, true_len - 1],
+                                  temperature, top_k)
+            return tok, KVCache(k, v)
+
+        @jax.jit
+        def decode_step(params, cache, tokens, pos, thresholds, key):
+            logits, cache = llama.forward(
+                params, tokens[:, None], cache, pos, thresholds,
+                cfg=cfg, sp=sp,
+            )
+            toks = sampling.sample(key, logits[:, 0], temperature, top_k)
+            return toks, cache
+
+        self._prefill_slot = prefill_slot
+        self._decode_step = decode_step
+
+    # -- public API -----------------------------------------------------------
+
+    def submit(self, prompt: List[int], max_new_tokens: int) -> int:
+        req = Request(self._next_id, list(prompt), max_new_tokens)
+        self._next_id += 1
+        self.queue.append(req)
+        return req.id
+
+    def has_work(self) -> bool:
+        return bool(self.queue) or any(r is not None for r in self.active)
+
+    def step(self) -> List[Request]:
+        """Admit queued requests into free slots, run one decode step for
+        all slots, collect tokens. Returns requests finished this step."""
+        self._admit()
+        if not any(r is not None for r in self.active):
+            return []
+
+        self._key, sub = jax.random.split(self._key)
+        toks, self.cache = self._decode_step(
+            self.params, self.cache, jnp.asarray(self.cur),
+            jnp.asarray(self.pos), self.thresholds, sub,
+        )
+        toks = np.asarray(toks)
+
+        done_now: List[Request] = []
+        for b, req in enumerate(self.active):
+            if req is None:
+                continue
+            tok = int(self.cur[b])
+            req.out.append(tok)
+            self.pos[b] += 1
+            self.cur[b] = toks[b]
+            hit_eos = self.eos_id is not None and tok == self.eos_id
+            if (len(req.out) >= req.max_new_tokens or hit_eos
+                    or self.pos[b] + 1 >= self.max_seq):
+                req.done = True
+                self.finished.append(req)
+                done_now.append(req)
+                self.active[b] = None
+                self.pos[b] = 0
+                self.cur[b] = 0
+        return done_now
+
+    def run(self, max_steps: int = 100000) -> List[Request]:
+        steps = 0
+        while self.has_work() and steps < max_steps:
+            self.step()
+            steps += 1
+        return self.finished
+
+    # -- internals ------------------------------------------------------------
+
+    def _admit(self):
+        for b in range(self.slots):
+            if self.active[b] is not None or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            t = len(req.prompt)
+            pad = _pad_len(t)
+            padded = np.zeros((1, pad), np.int64)
+            padded[0, :t] = req.prompt
+            self._key, sub = jax.random.split(self._key)
+            tok, self.cache = self._prefill_slot(
+                self.params, self.cache, jnp.asarray(padded, jnp.int32),
+                b, self.thresholds, sub, t, pad,
+            )
+            self.active[b] = req
+            self.pos[b] = t
+            self.cur[b] = int(np.asarray(tok))

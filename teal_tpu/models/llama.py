@@ -75,13 +75,16 @@ def precompute_rope(cfg: ModelConfig, max_seq: int):
 
 
 def apply_rope(x, cos, sin):
-    """x: [B, H, S, D]; cos/sin: [S, D] (already gathered at positions)."""
+    """x: [B, H, S, D]; cos/sin: [B, S, D] (gathered at each sequence's
+    positions — per-sequence positions support continuous batching)."""
     half = x.shape[-1] // 2
     x1, x2 = x[..., :half], x[..., half:]
     rotated = jnp.concatenate([-x2, x1], axis=-1)
     xf = x.astype(jnp.float32)
     rf = rotated.astype(jnp.float32)
-    return (xf * cos + rf * sin).astype(x.dtype)
+    c = cos[:, None]  # [B, 1, S, D] broadcasts over heads
+    sn = sin[:, None]
+    return (xf * c + rf * sn).astype(x.dtype)
 
 
 def _proj(x, w, thresh, sp: SparsityConfig, *, proj: str):
@@ -115,7 +118,7 @@ def _attention(q, k, v, pos, q_len: int, max_seq: int,
     """Grouped-query attention over the full static cache.
 
     q: [B, Hq, S, D]; k/v: [B, Hkv, T, D] (T = max_seq cache length).
-    `pos` is the index of the first query position. Invalid (future or
+    `pos` [B] is each sequence's first query position. Invalid (future or
     beyond-window) cache slots are masked out; GQA is computed by reshaping
     q to [B, Hkv, G, S, D] so KV heads are never materialized G times
     (unlike the reference's `repeat_interleave`, `gpt-fast/model.py:247-248`).
@@ -130,12 +133,12 @@ def _attention(q, k, v, pos, q_len: int, max_seq: int,
         "bkgsd,bktd->bkgst", q, k, preferred_element_type=jnp.float32
     ) * scale
 
-    q_pos = pos + jnp.arange(s)[:, None]            # [S, 1]
-    t_pos = jnp.arange(max_seq)[None, :]            # [1, T]
-    valid = t_pos <= q_pos
+    q_pos = pos[:, None] + jnp.arange(s)[None, :]   # [B, S]
+    t_pos = jnp.arange(max_seq)[None, None, :]      # [1, 1, T]
+    valid = t_pos <= q_pos[:, :, None]              # [B, S, T]
     if sliding_window is not None:
-        valid &= t_pos > q_pos - sliding_window
-    scores = jnp.where(valid[None, None, None], scores, -jnp.inf)
+        valid &= t_pos > (q_pos[:, :, None] - sliding_window)
+    scores = jnp.where(valid[:, None, None], scores, -jnp.inf)
 
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
@@ -147,25 +150,45 @@ def _attention(q, k, v, pos, q_len: int, max_seq: int,
 
 def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
                   cfg: ModelConfig, sp: SparsityConfig, thresholds,
-                  capture: bool = False):
+                  capture: bool = False, stacked=None, layer_idx=None):
     """One transformer block. h: [B, S, D]; kc/vc: [B, Hkv, T, Dh].
 
     thresholds: [7] per-projection scalars (order `config.PROJS`).
+    `stacked`/`layer_idx`: the UN-sliced layer-stacked weight dict plus
+    this layer's index — required for the block kernel inside a
+    scan-over-layers (the kernel gathers [layer, group] slabs directly;
+    slicing stacked weights outside a Pallas call would materialize a full
+    per-layer weight copy every step).
     Returns (h_out, kc, vc, captures|None).
     """
     b, s, d = h.shape
+    pos = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(pos, jnp.int32)), (b,))
+    if cos.ndim == 2:  # shared positions: broadcast over batch
+        cos = jnp.broadcast_to(cos[None], (b,) + cos.shape)
+        sin = jnp.broadcast_to(sin[None], (b,) + sin.shape)
     t = {p: thresholds[i] for i, p in enumerate(PROJS)}
     # block-kernel fast path: single-token decode, batch 1 (the reference
     # engine is batch-1 decode too, gpt-fast/generate.py)
     use_block = (sp.enabled and sp.kernel == "block" and s == 1 and b == 1)
+
+    def stacked_w(name):
+        """Weight for the block kernel: stacked 3D when available."""
+        if stacked is None:
+            return lp[name]
+        w = stacked[name]
+        if isinstance(w, dict):
+            return {"q": w["q"], "scale": lp[name]["scale"]}
+        return w
+
+    li = layer_idx if stacked is not None else None
 
     # --- attention ---
     x = rms_norm(h, lp["attn_norm"], cfg.norm_eps)          # attn h1
     if use_block:
         from teal_tpu.ops import block_gemv
         q, k, v = block_gemv.project_many(
-            x, [lp["wq"], lp["wk"], lp["wv"]],
-            sp.block_size, sp.block_keep_frac,
+            x, [stacked_w("wq"), stacked_w("wk"), stacked_w("wv")],
+            sp.block_size, sp.block_keep_frac, layer=li,
         )
     else:
         q = _proj(x, lp["wq"], t["q"], sp, proj="q")
@@ -180,12 +203,23 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, pos, 0))
-    vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, pos, 0))
+    upd = jax.vmap(
+        lambda c, new, p: jax.lax.dynamic_update_slice(c, new, (0, p, 0))
+    )
+    kc = upd(kc, k.astype(kc.dtype), pos)
+    vc = upd(vc, v.astype(vc.dtype), pos)
 
     attn = _attention(q, kc, vc, pos, s, kc.shape[2], cfg.sliding_window)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1)      # attn h2
-    h = h + _proj(attn, lp["wo"], t["o"], sp, proj="o")
+    if use_block:
+        from teal_tpu.ops import block_gemv
+        (o_out,) = block_gemv.project_many(
+            attn, [stacked_w("wo")], sp.block_size, sp.block_keep_frac,
+            layer=li,
+        )
+        h = h + o_out
+    else:
+        h = h + _proj(attn, lp["wo"], t["o"], sp, proj="o")
 
     # --- mlp ---
     y = rms_norm(h, lp["mlp_norm"], cfg.norm_eps)            # mlp h1
@@ -202,14 +236,22 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
     if use_block:
         from teal_tpu.ops import block_gemv
         gate, up = block_gemv.project_many(
-            y, [lp["wgate"], lp["wup"]], sp.block_size, sp.block_keep_frac
+            y, [stacked_w("wgate"), stacked_w("wup")],
+            sp.block_size, sp.block_keep_frac, layer=li,
         )
     else:
         gate = _proj(y, lp["wgate"], t["gate"], sp, proj="gate")
         up = _proj(y, lp["wup"], t["up"], sp, proj="up")
     inter = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
     # `inter` is mlp h2
-    h = h + _proj(inter, lp["wdown"], t["down"], sp, proj="down")
+    if use_block:
+        (d_out,) = block_gemv.project_many(
+            inter, [stacked_w("wdown")], sp.block_size, sp.block_keep_frac,
+            layer=li,
+        )
+        h = h + d_out
+    else:
+        h = h + _proj(inter, lp["wdown"], t["down"], sp, proj="down")
 
     caps = None
     if capture:
@@ -234,24 +276,31 @@ def _layer_params_at(params, i):
 def forward(params, tokens, cache: KVCache, pos, thresholds, *,
             cfg: ModelConfig, sp: SparsityConfig,
             return_hidden: bool = False):
-    """Full forward. tokens: [B, S] int32; pos: scalar start position.
+    """Full forward. tokens: [B, S] int32; pos: scalar start position
+    shared by the batch, or [B] per-sequence positions (continuous
+    batching: each slot decodes at its own depth).
 
     Returns (logits [B, S, V] fp32, new_cache).
     """
     h = params["embed"][tokens].astype(compute_dtype(params))
-    s = tokens.shape[1]
+    b, s = tokens.shape
+    pos = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(pos, jnp.int32)), (b,))
     cos_full, sin_full = precompute_rope(cfg, cache.max_seq)
-    cos = jax.lax.dynamic_slice_in_dim(cos_full, pos, s, axis=0)
-    sin = jax.lax.dynamic_slice_in_dim(sin_full, pos, s, axis=0)
+    positions = pos[:, None] + jnp.arange(s)[None, :]     # [B, S]
+    cos = cos_full[positions]
+    sin = sin_full[positions]
 
     def body(carry, xs):
         h, kc_all, vc_all = carry
         i, thresh_l = xs
+        # lazy per-layer slices: XLA fuses them into dense consumers and
+        # DCEs the ones the block path replaces with stacked access
         lp = jax.tree.map(lambda a: a[i], params["layers"])
         kc = kc_all[i]
         vc = vc_all[i]
         h, kc, vc, _ = layer_forward(
-            h, lp, kc, vc, pos, cos, sin, cfg, sp, thresh_l
+            h, lp, kc, vc, pos, cos, sin, cfg, sp, thresh_l,
+            stacked=params["layers"], layer_idx=i,
         )
         kc_all = jax.lax.dynamic_update_slice_in_dim(
             kc_all, kc[None], i, axis=0

@@ -68,8 +68,8 @@ def effective_block_size(G: int, K: int) -> int:
     return g
 
 
-def _manual_gather_kernel(idx_ref, x_ref, *refs, G: int, Ns, k_keep: int,
-                          depth: int, dtypes):
+def _manual_gather_kernel(idx_ref, layer_ref, x_ref, *refs, G: int, Ns,
+                          k_keep: int, depth: int, dtypes):
     """Triple-buffered explicit-DMA gather over kept groups.
 
     For each kept group j, one DMA per weight copies its contiguous
@@ -91,10 +91,16 @@ def _manual_gather_kernel(idx_ref, x_ref, *refs, G: int, Ns, k_keep: int,
         acc = scoped[n_w + 1]
 
         def src_slab(wi, j):
-            # dynamic G-row slab of the 2D [K, N] weight; start is a
-            # multiple of G (>= sublane tile), so the slab is whole
-            # contiguous tile-rows in HBM
+            # dynamic G-row slab; start is a multiple of G (>= sublane
+            # tile), so the slab is whole contiguous tile-rows in HBM.
+            # 3D weights are layer-stacked [L, K, N]: the layer index
+            # (scalar-prefetched) joins the gather, so scan-over-layers
+            # models never slice big weights outside the kernel (an XLA
+            # dynamic-slice feeding a custom-call would materialize a
+            # full copy of the layer's weights every decode step).
             start_row = pl.multiple_of(idx_ref[j] * G, G)
+            if len(w_refs[wi].shape) == 3:
+                return w_refs[wi].at[layer_ref[0], pl.ds(start_row, G), :]
             return w_refs[wi].at[pl.ds(start_row, G), :]
 
         def start(slot, j):
@@ -148,26 +154,33 @@ def _manual_gather_kernel(idx_ref, x_ref, *refs, G: int, Ns, k_keep: int,
 @functools.partial(jax.jit, static_argnames=("G", "k_keep", "out_dtype",
                                              "depth"))
 def block_gather_gemv_multi(idx, xpack, ws, *, G: int, k_keep: int,
-                            out_dtype=jnp.bfloat16, depth: int = 3):
+                            out_dtype=jnp.bfloat16, depth: int = 3,
+                            layer=None):
     """Fused multi-weight gather GEMV: one launch gathers each kept G-row
     slab from EVERY weight (q/k/v or gate/up share one selection and one
     kernel — the TPU analog of the reference's fused-QKV kernel,
     `kernels/sparse_gemv.py:147-237`). Weights stay separate arrays, so
-    tensor-parallel sharding specs are untouched. Returns a list of
-    [1, N_w] outputs."""
+    tensor-parallel sharding specs are untouched.
+
+    Weights may be 2D [K, N] or layer-stacked 3D [L, K, N] with `layer`
+    the (traced) layer index — the stacked form is what scan-over-layers
+    models must use (see src_slab note). Returns a list of [1, N_w]
+    outputs."""
     ws = tuple(ws)
-    Ns = tuple(int(w.shape[1]) for w in ws)
+    Ns = tuple(int(w.shape[-1]) for w in ws)
     dtypes = tuple(w.dtype for w in ws)
-    K = ws[0].shape[0]
-    nb = K // G
     n_tot = sum(Ns)
+    if layer is None:
+        layer = jnp.zeros((1,), jnp.int32)
+    else:
+        layer = jnp.asarray(layer, jnp.int32).reshape(1)
 
     kernel = functools.partial(
         _manual_gather_kernel, G=G, Ns=Ns, k_keep=k_keep, depth=depth,
         dtypes=dtypes,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pl.ANY) for _ in ws],
@@ -183,7 +196,7 @@ def block_gather_gemv_multi(idx, xpack, ws, *, G: int, k_keep: int,
                                             for N, w in zip(Ns, ws)),
             transcendentals=0,
         ),
-    )(idx, xpack, *ws)
+    )(idx, layer, xpack, *ws)
     outs = []
     off = 0
     for N in Ns:
@@ -245,13 +258,16 @@ def block_sparse_matmul(x, w, threshold, block_size: int = 32,
 
 
 def project_many(x, ws, block_size: int = 32,
-                 keep_frac: Optional[float] = None):
+                 keep_frac: Optional[float] = None, layer=None):
     """Apply the block-sparse GEMV to several weights sharing one input
     (q/k/v share the post-LN hidden state; gate/up share the MLP input —
     reference groups at `teal/mlp.py:50-56`, `teal/self_attn.py:70-84`).
     Group selection runs once and is reused, the analog of the reference's
     fused-QKV kernel sharing one activation load
-    (`kernels/sparse_gemv.py:147-237`)."""
+    (`kernels/sparse_gemv.py:147-237`).
+
+    Each w may be 2D [K, N], layer-stacked 3D [L, K, N] (pass `layer`),
+    or an int8 dict {"q": 2D/3D, "scale": [N]}."""
     K = x.shape[-1]
     G = effective_block_size(block_size, K)
     nb = K // G
@@ -262,7 +278,7 @@ def project_many(x, ws, block_size: int = 32,
     quantized = [isinstance(w, dict) for w in ws]
     raw = [w["q"] if q else w for w, q in zip(ws, quantized)]
     ys = block_gather_gemv_multi(idx, xpack, raw, G=G, k_keep=k_keep,
-                                 out_dtype=jnp.float32)
+                                 out_dtype=jnp.float32, layer=layer)
     outs = []
     for y, w, q in zip(ys, ws, quantized):
         if q:

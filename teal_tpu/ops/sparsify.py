@@ -13,6 +13,7 @@ Sequence length is static under jit, so the prefill split is Python-level.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from teal_tpu.config import SparsityConfig
@@ -23,10 +24,43 @@ def sparsify(x, threshold):
     return jnp.where(jnp.abs(x) > threshold, x, jnp.zeros_like(x))
 
 
+def sparsify_groups(x, group_size: int, keep_frac: float):
+    """Group-granular sparsification (the accuracy twin of the block
+    decode kernel): per position, keep the top `keep_frac` of
+    `group_size`-channel groups by max-|x| score, zero the rest.
+
+    Used to measure the ppl cost of the TPU-structured sparsity mode with
+    the exact same selection rule the fast kernel applies.
+    """
+    *lead, d = x.shape
+    nb = d // group_size
+    if nb * group_size != d:
+        raise ValueError(f"dim {d} not divisible by group {group_size}")
+    k = max(1, min(nb, int(round(nb * keep_frac))))
+    xg = x.reshape(*lead, nb, group_size)
+    scores = jnp.max(jnp.abs(xg), axis=-1)              # [..., nb]
+    kth = jax.lax.top_k(scores, k)[0][..., -1:]
+    mask = scores >= kth
+    return (xg * mask[..., None].astype(x.dtype)).reshape(x.shape)
+
+
 def apply_sparsity(x, threshold, cfg: SparsityConfig):
-    """Apply the threshold with the prefill policy. x: [..., seq, dim]."""
+    """Apply the sparsity rule with the prefill policy. x: [..., seq, dim].
+
+    cfg.mode selects the rule: "teal" is elementwise |x| > t (reference
+    semantics); "group" is per-position top-k group selection (the block
+    decode kernel's semantics, for accuracy evaluation).
+    """
     if not cfg.enabled:
         return x
+
+    if cfg.mode == "group":
+        def rule(v):
+            return sparsify_groups(v, cfg.block_size, cfg.block_keep_frac)
+    else:
+        def rule(v):
+            return sparsify(v, threshold)
+
     seq = x.shape[-2]
     if seq > 1:
         if not cfg.apply_prefill:
@@ -35,5 +69,5 @@ def apply_sparsity(x, threshold, cfg: SparsityConfig):
         if n_sparse == 0:
             return x
         head, tail = x[..., : seq - n_sparse, :], x[..., seq - n_sparse :, :]
-        return jnp.concatenate([head, sparsify(tail, threshold)], axis=-2)
-    return sparsify(x, threshold)
+        return jnp.concatenate([head, rule(tail)], axis=-2)
+    return rule(x)

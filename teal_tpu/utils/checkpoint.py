@@ -91,9 +91,31 @@ def load_hf_checkpoint(
         return np.ascontiguousarray(t.T) if transpose else t
 
     layers: Dict[str, np.ndarray] = {}
-    for name, pattern in _LAYER_KEYMAP.items():
+    keymap = dict(_LAYER_KEYMAP)
+    if cfg.n_experts > 0:
+        # Mixtral MoE: per-expert SwiGLU weights + router
+        # (HF keys: block_sparse_moe.gate / experts.{e}.w1|w2|w3 where
+        # w1=gate, w2=down, w3=up)
+        for k in ("wgate", "wup", "wdown"):
+            del keymap[k]
+        keymap["router"] = "model.layers.{i}.block_sparse_moe.gate.weight"
+        expert_map = {"wgate": "w1", "wdown": "w2", "wup": "w3"}
+        for name, hf in expert_map.items():
+            stack = []
+            for i in range(cfg.n_layers):
+                experts = [
+                    grab(
+                        f"model.layers.{i}.block_sparse_moe.experts.{e}.{hf}.weight",
+                        True,
+                    )
+                    for e in range(cfg.n_experts)
+                ]
+                stack.append(np.stack(experts))
+            layers[name] = jnp.asarray(np.stack(stack), dtype)
+    for name, pattern in keymap.items():
+        transpose = name in _TRANSPOSED or name == "router"
         stack = [
-            grab(pattern.format(i=i), name in _TRANSPOSED)
+            grab(pattern.format(i=i), transpose)
             for i in range(cfg.n_layers)
         ]
         layers[name] = jnp.asarray(np.stack(stack), dtype)

@@ -118,3 +118,47 @@ def test_native_roundtrip(tmp_path, tiny_cfg):
         np.testing.assert_array_equal(
             np.asarray(a.astype(jnp.float32)), np.asarray(b.astype(jnp.float32))
         )
+
+
+def test_hf_load_mixtral_moe(tmp_path):
+    """Mixtral key scheme: block_sparse_moe.gate + experts.{e}.w1|w2|w3."""
+    from safetensors.numpy import save_file
+    from teal_tpu.config import SparsityConfig
+
+    cfg = get_model_config("tiny", n_experts=2, n_experts_per_tok=2)
+    rng = np.random.default_rng(0)
+    D, I, KV, V = cfg.dim, cfg.intermediate_size, cfg.kv_dim, cfg.vocab_size
+
+    def w(shape):
+        return rng.normal(0, 0.02, size=shape).astype(np.float32)
+
+    t = {"model.embed_tokens.weight": w((V, D)),
+         "model.norm.weight": w((D,)) + 1,
+         "lm_head.weight": w((V, D))}
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = w((D,)) + 1
+        t[p + "post_attention_layernorm.weight"] = w((D,)) + 1
+        for proj, shape in (("q", (D, D)), ("k", (KV, D)), ("v", (KV, D)),
+                            ("o", (D, D))):
+            t[p + f"self_attn.{proj}_proj.weight"] = w(shape)
+        t[p + "block_sparse_moe.gate.weight"] = w((cfg.n_experts, D))
+        for e in range(cfg.n_experts):
+            q = p + f"block_sparse_moe.experts.{e}."
+            t[q + "w1.weight"] = w((I, D))
+            t[q + "w2.weight"] = w((D, I))
+            t[q + "w3.weight"] = w((I, D))
+    save_file(t, str(tmp_path / "model.safetensors"))
+
+    params = load_hf_checkpoint(str(tmp_path), cfg, dtype=jnp.float32)
+    assert params["layers"]["router"].shape == (cfg.n_layers, D, cfg.n_experts)
+    assert params["layers"]["wgate"].shape == (cfg.n_layers, cfg.n_experts, D, I)
+    np.testing.assert_allclose(
+        np.asarray(params["layers"]["wdown"][1, 0]),
+        t["model.layers.1.block_sparse_moe.experts.0.w2.weight"].T)
+
+    cache = KVCache.init(cfg, 1, 8, jnp.float32)
+    logits, _ = llama.forward(
+        params, jnp.array([[1, 2, 3]], jnp.int32), cache, 0,
+        llama.zero_thresholds(cfg), cfg=cfg, sp=SparsityConfig())
+    assert np.isfinite(np.asarray(logits)).all()

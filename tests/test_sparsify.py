@@ -62,3 +62,38 @@ def test_disabled_is_identity():
     np.testing.assert_array_equal(
         np.asarray(apply_sparsity(x, 100.0, cfg)), np.asarray(x)
     )
+
+
+def test_group_sparsify_matches_kernel_selection():
+    """Group accuracy-twin rule == the block kernel's reference twin."""
+    import jax
+    from teal_tpu.ops import block_gemv
+    from teal_tpu.ops.sparsify import sparsify_groups
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 256), jnp.float32)
+    w = jnp.eye(256, dtype=jnp.float32)
+    xs = sparsify_groups(x, 16, 0.5)
+    ref = block_gemv.block_sparse_matmul_reference(x, w, None, 16, 0.5)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref), atol=1e-6)
+
+
+def test_group_sparsify_keeps_exact_fraction():
+    import jax
+    from teal_tpu.ops.sparsify import sparsify_groups
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 5, 256), jnp.float32)
+    out = np.asarray(sparsify_groups(x, 16, 0.5))
+    # per position: exactly 8 of 16 groups survive
+    zg = (np.abs(out).reshape(3, 5, 16, 16).max(-1) > 0).sum(-1)
+    assert np.all(zg == 8)
+
+
+def test_group_mode_prefill_rule():
+    cfg = SparsityConfig(enabled=True, mode="group", block_size=16,
+                         block_keep_frac=0.5, apply_prefill=True,
+                         prefill_fraction=0.5)
+    import jax
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 64), jnp.float32)
+    out = np.asarray(apply_sparsity(x, 0.0, cfg))
+    np.testing.assert_array_equal(out[:, :4], np.asarray(x[:, :4]))
+    assert (out[:, 4:] == 0).sum() > 0
