@@ -31,16 +31,39 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build(model_name: str, max_seq: int, dtype):
+def _fast_init(cfg, dtype):
+    """Deterministic pseudo-random-looking params without RNG: decode speed
+    is memory-bound and value-independent, and this compiles in seconds
+    where the RNG-based init's remote compile has minutes of variance."""
+    from teal_tpu.models import llama
+
+    shapes = jax.eval_shape(
+        lambda: llama.init_params(cfg, jax.random.PRNGKey(0), dtype)
+    )
+
+    def fill(s):
+        n = 1
+        for d in s.shape:
+            n *= d
+        flat = jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761)
+        vals = (flat >> 16).astype(jnp.float32) / 65536.0 - 0.5
+        return (vals * 0.04).astype(s.dtype).reshape(s.shape)
+
+    return jax.jit(lambda: jax.tree.map(fill, shapes))()
+
+
+def build(model_name: str, max_seq: int, dtype, random_init: bool = False):
     from teal_tpu.config import get_model_config
     from teal_tpu.models import llama
 
     cfg = get_model_config(model_name)
     t0 = time.time()
-    params = jax.jit(
-        functools.partial(llama.init_params, cfg, dtype=dtype)
-    )(jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
+    if random_init:
+        params = jax.jit(
+            functools.partial(llama.init_params, cfg, dtype=dtype)
+        )(jax.random.PRNGKey(0))
+    else:
+        params = _fast_init(cfg, dtype)
     jax.device_get(jax.tree.map(lambda a: a.ravel()[0], params))
     log(f"params built in {time.time()-t0:.1f}s "
         f"({sum(a.size*a.dtype.itemsize for a in jax.tree.leaves(params))/1e9:.2f} GB)")
@@ -113,6 +136,7 @@ def main():
     ap.add_argument("--block-size", type=int, default=32)
     ap.add_argument("--max-seq", type=int, default=256)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--random-init", action="store_true")
     args = ap.parse_args()
 
     from teal_tpu.config import SparsityConfig
@@ -120,7 +144,8 @@ def main():
     n_short, n_long = (4, 16) if args.quick else (8, 64)
     dtype = jnp.bfloat16
 
-    cfg, params = build(args.model, args.max_seq, dtype)
+    cfg, params = build(args.model, args.max_seq, dtype,
+                        random_init=args.random_init)
     model_gb = sum(
         cfg.proj_params(p) for p in ("q", "k", "v", "o", "gate", "up", "down")
     ) * cfg.n_layers * 2 / 1e9

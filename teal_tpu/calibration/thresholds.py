@@ -98,6 +98,20 @@ def get_layer_greedy_sparsities(
     return out
 
 
+def keep_fracs_from_greedy(
+    lookup_root: str, cfg: ModelConfig, level: float
+):
+    """Per-projection keep fractions for the block fast engine from a
+    greedy lookup: 1 - mean-over-layers of each projection's greedy
+    sparsity at the given effective level. (The fast engine's gather
+    capacities are compile-time constants, so the per-layer dimension is
+    averaged; per-layer-exact block capacities would need an unrolled
+    layer loop.) Returns a 7-tuple in PROJS order."""
+    sparsities = get_layer_greedy_sparsities(lookup_root, cfg, level)
+    mean = np.clip(sparsities, 0.0, 1.0).mean(axis=0)
+    return tuple(float(1.0 - m) for m in mean)
+
+
 def thresholds_for_greedy(
     teal_root: str, cfg: ModelConfig, level: float
 ) -> np.ndarray:

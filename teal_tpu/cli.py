@@ -106,15 +106,16 @@ def cmd_calibrate(args):
     from teal_tpu.calibration import calibrate
     from teal_tpu.utils.tokenizer import get_tokenizer
 
+    from teal_tpu.utils.data import get_token_stream
+
     cfg, params = _load_model(args)
     tok = get_tokenizer(args.tokenizer or args.checkpoint)
-    if args.text_file:
-        text = open(args.text_file).read()
-        ids = tok.encode(text)
-    else:
-        rng = np.random.default_rng(args.seed)
-        ids = rng.integers(0, cfg.vocab_size, args.batch * args.seq_len)
     n = args.batch * args.seq_len
+    ids = get_token_stream(
+        tok, text_file=args.text_file, dataset=args.dataset,
+        vocab_size=cfg.vocab_size, n_tokens=n, seed=args.seed,
+    )
+    ids = np.mod(ids, cfg.vocab_size)
     ids = (list(ids) * (n // max(len(ids), 1) + 1))[:n]
     tokens = np.asarray(ids).reshape(args.batch, args.seq_len)
     calibrate(params, cfg, tokens, args.output_path,
@@ -143,14 +144,15 @@ def cmd_ppl(args):
     from teal_tpu.eval import eval_ppl
     from teal_tpu.utils.tokenizer import get_tokenizer
 
+    from teal_tpu.utils.data import get_token_stream
+
     cfg, params = _load_model(args)
     tok = get_tokenizer(args.tokenizer or args.checkpoint)
-    if args.text_file:
-        ids = tok.encode(open(args.text_file).read())
-    else:
-        ids = np.random.default_rng(args.seed).integers(
-            0, cfg.vocab_size, args.num_tokens
-        )
+    ids = get_token_stream(
+        tok, text_file=args.text_file, dataset=args.dataset,
+        vocab_size=cfg.vocab_size, n_tokens=args.num_tokens, seed=args.seed,
+    )
+    ids = np.mod(ids, cfg.vocab_size)
 
     dense = eval_ppl(params, cfg, ids, context_size=args.context_size,
                      window_size=args.window_size)
@@ -214,6 +216,8 @@ def main(argv=None):
     _common(c)
     c.add_argument("--output-path", required=True)
     c.add_argument("--text-file", default=None)
+    c.add_argument("--dataset", default=None,
+                   help="HF dataset name (e.g. tatsu-lab/alpaca)")
     c.add_argument("--batch", type=int, default=10)
     c.add_argument("--seq-len", type=int, default=2048)
     c.add_argument("--no-layer-inputs", action="store_true")
@@ -232,6 +236,8 @@ def main(argv=None):
     p = sub.add_parser("ppl")
     _common(p)
     p.add_argument("--text-file", default=None)
+    p.add_argument("--dataset", default=None,
+                   help="HF dataset name (e.g. tatsu-lab/alpaca)")
     p.add_argument("--num-tokens", type=int, default=8192)
     p.add_argument("--context-size", type=int, default=2048)
     p.add_argument("--window-size", type=int, default=512)

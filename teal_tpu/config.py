@@ -203,6 +203,12 @@ class SparsityConfig:
     # SPARSITY_BIN autotune key, kernels/sparse_gemv.py:47).
     block_size: int = 32
     block_keep_frac: float = 0.5
+    # Optional per-projection keep fractions (PROJS order). Lets a greedy
+    # per-projection sparsity profile drive the fast engine (the reference
+    # never wired its greedy schedules into gpt-fast, README.md:109).
+    # Static tuple: capacities stay compile-time constants. Uniform across
+    # layers (scan-over-layers requires uniform gather capacities).
+    block_keep_fracs: Optional[Tuple[float, ...]] = None
     # Unstructured "gather" mode capacity fraction (exact-semantics kernel).
     gather_cap_frac: float = 0.625
 

@@ -184,12 +184,22 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
 
     # --- attention ---
     x = rms_norm(h, lp["attn_norm"], cfg.norm_eps)          # attn h1
+    kf = sp.block_keep_fracs or (sp.block_keep_frac,) * 7
     if use_block:
         from teal_tpu.ops import block_gemv
-        q, k, v = block_gemv.project_many(
-            x, [stacked_w("wq"), stacked_w("wk"), stacked_w("wv")],
-            sp.block_size, sp.block_keep_frac, layer=li,
-        )
+        if kf[0] == kf[1] == kf[2]:
+            q, k, v = block_gemv.project_many(
+                x, [stacked_w("wq"), stacked_w("wk"), stacked_w("wv")],
+                sp.block_size, kf[0], layer=li,
+            )
+        else:
+            # per-projection greedy profile: separate capacities
+            (q,) = block_gemv.project_many(
+                x, [stacked_w("wq")], sp.block_size, kf[0], layer=li)
+            (k,) = block_gemv.project_many(
+                x, [stacked_w("wk")], sp.block_size, kf[1], layer=li)
+            (v,) = block_gemv.project_many(
+                x, [stacked_w("wv")], sp.block_size, kf[2], layer=li)
     else:
         q = _proj(x, lp["wq"], t["q"], sp, proj="q")
         k = _proj(x, lp["wk"], t["k"], sp, proj="k")
@@ -214,8 +224,7 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
     if use_block:
         from teal_tpu.ops import block_gemv
         (o_out,) = block_gemv.project_many(
-            attn, [stacked_w("wo")], sp.block_size, sp.block_keep_frac,
-            layer=li,
+            attn, [stacked_w("wo")], sp.block_size, kf[3], layer=li,
         )
         h = h + o_out
     else:
@@ -235,10 +244,16 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
         return h, kc, vc, caps
     if use_block:
         from teal_tpu.ops import block_gemv
-        gate, up = block_gemv.project_many(
-            y, [stacked_w("wgate"), stacked_w("wup")],
-            sp.block_size, sp.block_keep_frac, layer=li,
-        )
+        if kf[4] == kf[5]:
+            gate, up = block_gemv.project_many(
+                y, [stacked_w("wgate"), stacked_w("wup")],
+                sp.block_size, kf[4], layer=li,
+            )
+        else:
+            (gate,) = block_gemv.project_many(
+                y, [stacked_w("wgate")], sp.block_size, kf[4], layer=li)
+            (up,) = block_gemv.project_many(
+                y, [stacked_w("wup")], sp.block_size, kf[5], layer=li)
     else:
         gate = _proj(y, lp["wgate"], t["gate"], sp, proj="gate")
         up = _proj(y, lp["wup"], t["up"], sp, proj="up")
@@ -246,8 +261,7 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
     # `inter` is mlp h2
     if use_block:
         (d_out,) = block_gemv.project_many(
-            inter, [stacked_w("wdown")], sp.block_size, sp.block_keep_frac,
-            layer=li,
+            inter, [stacked_w("wdown")], sp.block_size, kf[6], layer=li,
         )
         h = h + d_out
     else:

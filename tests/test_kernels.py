@@ -160,3 +160,57 @@ def test_decode_with_block_kernel_matches_masked_reference():
                            sp=SparsityConfig())
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_per_projection_keep_fracs_decode():
+    """block_keep_fracs: differing per-projection capacities still produce
+    finite, shape-correct decode; equal fracs match the uniform path."""
+    from teal_tpu.config import get_model_config
+    from teal_tpu.models import llama
+    from teal_tpu.models.llama import KVCache
+
+    cfg = get_model_config("tiny", dim=256, intermediate_size=512,
+                           n_heads=4, n_kv_heads=2, vocab_size=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    tok = jnp.array([[7]], jnp.int32)
+    th = llama.zero_thresholds(cfg)
+
+    sp_uniform = SparsityConfig(enabled=True, kernel="block", block_size=16,
+                                block_keep_frac=0.5)
+    sp_tuple = sp_uniform.replace(block_keep_fracs=(0.5,) * 7)
+    outs = []
+    for sp in (sp_uniform, sp_tuple):
+        cache = KVCache.init(cfg, 1, 8, jnp.float32)
+        lg, _ = llama.forward(params, tok, cache, 0, th, cfg=cfg, sp=sp)
+        outs.append(np.asarray(lg))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
+
+    sp_greedy = sp_uniform.replace(
+        block_keep_fracs=(0.75, 0.5, 0.5, 0.75, 0.25, 0.5, 0.75))
+    cache = KVCache.init(cfg, 1, 8, jnp.float32)
+    lg, _ = llama.forward(params, tok, cache, 0, th, cfg=cfg, sp=sp_greedy)
+    assert np.isfinite(np.asarray(lg)).all()
+    assert not np.allclose(np.asarray(lg), outs[0])
+
+
+def test_keep_fracs_from_greedy(tmp_path):
+    import csv
+    from teal_tpu.config import get_model_config
+    from teal_tpu.calibration.thresholds import keep_fracs_from_greedy
+
+    cfg = get_model_config("tiny", n_layers=2)
+    for l, rows in enumerate([[(0.3, [0.2, 0.1, 0.1, 0.3, 0.4, 0.4, 0.3])],
+                              [(0.3, [0.4, 0.3, 0.3, 0.1, 0.2, 0.2, 0.5])]]):
+        d = tmp_path / f"layer-{l}"
+        d.mkdir(parents=True)
+        with open(d / "results.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["Effective Sparsity", "Activation Error",
+                        "Baseline Error", "q", "k", "v", "o", "gate", "up",
+                        "down"])
+            for eff, s in rows:
+                w.writerow([eff, 0.1, 0.2] + s)
+    kf = keep_fracs_from_greedy(str(tmp_path), cfg, 0.3)
+    assert len(kf) == 7
+    assert kf[0] == pytest.approx(1 - (0.2 + 0.4) / 2)
+    assert kf[6] == pytest.approx(1 - (0.3 + 0.5) / 2)
