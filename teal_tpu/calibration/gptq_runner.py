@@ -1,0 +1,90 @@
+"""Whole-model GPTQ: layer-streaming calibration + per-projection GPTQ.
+
+The reference's GPTQ runner traces the model with dynamo and quantizes each
+linear via a Hessian built from recorded eval-harness inputs
+(`gpt-fast/GPTQ.py:132-345`). Here the existing capture pipeline provides
+each projection's true input distribution (q/k/v <- attn h1, o <- attn h2,
+gate/up <- mlp h1, down <- mlp h2 — the same four groups TEAL calibrates
+thresholds on), and `ops.gptq` does the column-wise compensation. Output is
+an int4 param pytree (`{"q","scale","zero"}` dicts) that runs through the
+model's int4 dense path.
+
+Propagation uses the unquantized layer outputs as the next layer's input
+(one-shot GPTQ; the reference's sequential variant can be layered on by
+re-running the captured forward with quantized weights).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from teal_tpu.config import ModelConfig
+from teal_tpu.calibration.grab_acts import _layer_capture
+from teal_tpu.ops.gptq import gptq_quantize_int4
+
+_PROJ_INPUT = {
+    "wq": ("self_attn", "h1"),
+    "wk": ("self_attn", "h1"),
+    "wv": ("self_attn", "h1"),
+    "wo": ("self_attn", "h2"),
+    "wgate": ("mlp", "h1"),
+    "wup": ("mlp", "h1"),
+    "wdown": ("mlp", "h2"),
+}
+
+
+def _fit_group(K: int, group: int) -> int:
+    for g in range(min(group, K), 0, -1):
+        if K % g == 0:
+            return g
+    return 1
+
+
+def gptq_quantize_model(
+    params,
+    cfg: ModelConfig,
+    tokens,
+    *,
+    group: int = 128,
+    percdamp: float = 0.01,
+    progress: bool = False,
+) -> Dict:
+    """Returns a params pytree with the seven projections as int4 dicts."""
+    tokens = jnp.asarray(tokens, jnp.int32)
+    hidden = params["embed"][tokens].astype(params["layers"]["wq"].dtype)
+
+    per_layer: Dict[str, list] = {k: [] for k in _PROJ_INPUT}
+    for l in range(cfg.n_layers):
+        lp = jax.tree.map(lambda a: a[l], params["layers"])
+        h_out, caps = _layer_capture(lp, hidden, cfg)
+        for name, (module, htype) in _PROJ_INPUT.items():
+            w = np.asarray(lp[name], np.float32)
+            x = np.asarray(caps[module][htype], np.float32).reshape(
+                -1, w.shape[0]
+            )
+            g = _fit_group(w.shape[0], group)
+            wq = gptq_quantize_int4(w, x, group=g, percdamp=percdamp)
+            per_layer[name].append(
+                {"q": np.asarray(wq.q), "scale": np.asarray(wq.scale),
+                 "zero": np.asarray(wq.zero)}
+            )
+        hidden = h_out
+        if progress:
+            print(f"gptq layer {l}/{cfg.n_layers}", flush=True)
+
+    out = {k: v for k, v in params.items() if k != "layers"}
+    layers = {}
+    for name, stack in params["layers"].items():
+        if name in per_layer:
+            layers[name] = {
+                key: jnp.asarray(np.stack([d[key] for d in per_layer[name]]))
+                for key in ("q", "scale", "zero")
+            }
+        else:
+            layers[name] = stack
+    out["layers"] = layers
+    return out

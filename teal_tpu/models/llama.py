@@ -97,8 +97,9 @@ def _proj(x, w, thresh, sp: SparsityConfig, *, proj: str):
     `w` may be a raw array or an int8 weight-only dict {"q", "scale"}.
     """
     quantized = isinstance(w, dict)
+    is_int4 = quantized and "zero" in w
     if sp.enabled and x.shape[-2] == 1 and sp.kernel != "masked_dense":
-        if quantized and sp.kernel == "block":
+        if quantized and not is_int4 and sp.kernel == "block":
             from teal_tpu.ops import quant
             return quant.int8_block_sparse_matmul(
                 x, quant.Int8Weight(w["q"], w["scale"]),
@@ -107,6 +108,9 @@ def _proj(x, w, thresh, sp: SparsityConfig, *, proj: str):
         if not quantized:
             return sparse_gemv.sparse_matmul(x, w, thresh, sp)
     xs = apply_sparsity(x, thresh, sp)
+    if is_int4:
+        from teal_tpu.ops import quant
+        return quant.int4_dict_matmul(xs, w)
     if quantized:
         from teal_tpu.ops import quant
         return quant.int8_matmul(xs, quant.Int8Weight(w["q"], w["scale"]))

@@ -131,6 +131,16 @@ def int8_block_sparse_matmul(x, wq: Int8Weight, block_size: int = 32,
 
 # -- whole-model quantization -------------------------------------------------
 
+def int4_dict_matmul(x, w: Dict):
+    """Dense matmul against an int4 dict {"q", "scale", "zero"}; the group
+    size is inferred from shapes (K // n_groups) so the dict stays a pure
+    array pytree (scan-sliceable)."""
+    K = w["q"].shape[-2]
+    group = K // w["scale"].shape[-2]
+    wq = Int4Weight(q=w["q"], scale=w["scale"], zero=w["zero"], group=group)
+    return int4_matmul(x, wq)
+
+
 _QUANT_KEYS = ("wq", "wk", "wv", "wo", "wgate", "wup", "wdown")
 
 
@@ -157,3 +167,13 @@ def quantize_params_int8(params) -> Dict:
 
 def param_is_quantized(leaf) -> bool:
     return isinstance(leaf, dict) and "q" in leaf and "scale" in leaf
+
+
+def dequantize_int4_dict(w: Dict, dtype=jnp.bfloat16):
+    K, N = w["q"].shape[-2:]
+    g = K // w["scale"].shape[-2]
+    qf = (w["q"].astype(jnp.float32) + 8.0).reshape(
+        *w["q"].shape[:-2], K // g, g, N
+    )
+    wf = qf * w["scale"][..., :, None, :] + w["zero"][..., :, None, :]
+    return wf.reshape(w["q"].shape).astype(dtype)
