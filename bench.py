@@ -24,6 +24,7 @@ import sys
 import time
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -137,6 +138,8 @@ def main():
     ap.add_argument("--max-seq", type=int, default=256)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--random-init", action="store_true")
+    ap.add_argument("--sweep", action="store_true",
+                    help="also bench 40%%/75%% sparsity and int8 variants")
     args = ap.parse_args()
 
     from teal_tpu.config import SparsityConfig
@@ -164,6 +167,52 @@ def main():
                             n_short, n_long)
     log(f"sparse: {tps_sparse:.2f} tok/s  "
         f"({model_gb * (1 - args.sparsity) * tps_sparse:.0f} GB/s effective)")
+
+    if args.sweep:
+        for s in (0.4, 0.25):
+            sp = sparse_sp.replace(block_keep_frac=1.0 - s)
+            tps = decode_tps(cfg, params, sp, args.max_seq, n_short, n_long)
+            log(f"sweep sparsity={s}: {tps:.2f} tok/s "
+                f"({tps / tps_dense:.2f}x vs dense)")
+        log("building int8 params...")
+        # build int8 weights directly (quantizing in place would hold bf16
+        # and int8 copies together — 20 GB peak on a 16 GB chip)
+        def as_int8(leaf_name, stack):
+            if leaf_name in ("wq", "wk", "wv", "wo", "wgate", "wup", "wdown"):
+                shape = stack.shape
+
+                @jax.jit
+                def build():  # fused: no giant arange intermediate
+                    q = (jnp.arange(int(np.prod(shape)), dtype=jnp.uint32)
+                         * jnp.uint32(2654435761) >> 24).astype(jnp.int8)
+                    return q.reshape(shape)
+
+                return {"q": build(),
+                        "scale": jnp.full(shape[:1] + shape[2:3],
+                                          1e-3, jnp.float32)}
+            return stack
+
+        # convert leaf-by-leaf, freeing each bf16 stack before the next
+        old_layers = params["layers"]
+        new_layers = {}
+        for k in list(old_layers.keys()):
+            v = old_layers.pop(k)
+            new_layers[k] = as_int8(k, v)
+            del v
+        qparams = {
+            "embed": params["embed"],
+            "final_norm": params["final_norm"],
+            "lm_head": params["lm_head"],
+            "layers": new_layers,
+        }
+        del params, old_layers
+        tps_q = decode_tps(cfg, qparams, dense_sp, args.max_seq,
+                           n_short, n_long)
+        log(f"int8 dense: {tps_q:.2f} tok/s")
+        tps_qs = decode_tps(cfg, qparams, sparse_sp, args.max_seq,
+                            n_short, n_long)
+        log(f"int8 sparse@{args.sparsity}: {tps_qs:.2f} tok/s "
+            f"({tps_qs / tps_q:.2f}x vs int8 dense)")
 
     speedup = tps_sparse / tps_dense
     print(json.dumps({

@@ -172,15 +172,32 @@ def run_greedy(
     base_step_size: float = 0.05,
     last_fraction: float = 0.25,
     layers=None,
+    resume: bool = True,
     progress: bool = False,
 ):
     """Greedy-allocate every layer from a calibration dir (histograms/ +
     activations/), writing lookup/layer-<i>/results.csv (the reference
-    CLI's whole-model loop, `teal/greedyopt.py:163-198`)."""
+    CLI's whole-model loop, `teal/greedyopt.py:163-198`). With `resume`,
+    layers whose results.csv already reached the target are skipped —
+    the resume logic the reference lacks (SURVEY §5 checkpoint/resume)."""
     from teal_tpu.calibration.grab_acts import load_layer_input
 
     hist_root = os.path.join(teal_root, "histograms")
     for l in layers if layers is not None else range(cfg.n_layers):
+        out_csv = os.path.join(teal_root, "lookup", f"layer-{l}",
+                               "results.csv")
+        if resume and os.path.exists(out_csv):
+            try:
+                import pandas as pd
+
+                df = pd.read_csv(out_csv)
+                if len(df) and df["Effective Sparsity"].iloc[-1] >= target_sparsity:
+                    if progress:
+                        print(f"layer {l}: already complete, skipping",
+                              flush=True)
+                    continue
+            except Exception:
+                pass
         lp = jax.tree.map(lambda a: a[l], params["layers"])
         distrs = load_layer_distributions(hist_root, l)
         acts = load_layer_input(teal_root, l)

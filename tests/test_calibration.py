@@ -144,3 +144,38 @@ def test_greedy_beats_baseline_eventually(calib, tmp_path):
     assert len(df) >= 2
     last = df.iloc[-1]
     assert last["Activation Error"] <= last["Baseline Error"] * 1.25
+
+
+def test_distribution_analysis_fits(calib):
+    """Analysis module: Gaussian/Laplace fits on captured histograms
+    (parity with the reference's distributions notebook)."""
+    import os
+
+    from teal_tpu.calibration.analysis import analyze_layer
+
+    cfg, params, out = calib
+    reports = analyze_layer(os.path.join(out, "histograms"), 0)
+    assert set(reports) == {"self_attn/h1", "self_attn/h2",
+                            "mlp/h1", "mlp/h2"}
+    for r in reports.values():
+        assert r.std > 0 and r.laplace_b > 0
+        assert r.better in ("gaussian", "laplace")
+        assert np.isfinite(r.gaussian_l1) and np.isfinite(r.laplace_l1)
+
+
+def test_run_greedy_resume(calib, tmp_path, monkeypatch):
+    """resume=True skips layers whose CSV already reached the target."""
+    import shutil
+
+    from teal_tpu.calibration.greedyopt import run_greedy
+
+    cfg, params, out = calib
+    root = str(tmp_path / "teal")
+    shutil.copytree(out, root)
+    run_greedy(params, cfg, root, target_sparsity=0.2,
+               base_step_size=0.1, layers=[0])
+    csv0 = os.path.join(root, "lookup", "layer-0", "results.csv")
+    mtime = os.path.getmtime(csv0)
+    run_greedy(params, cfg, root, target_sparsity=0.2,
+               base_step_size=0.1, layers=[0])
+    assert os.path.getmtime(csv0) == mtime  # untouched on resume
