@@ -54,12 +54,19 @@ def calibrate(
     num_bins: int = 10000,
     outlier_threshold: float = 0.01,
     save_layer_inputs: bool = True,
+    group_sizes=(32,),
     progress: bool = False,
 ) -> str:
     """Build histograms (and layer-input snapshots) from a token batch.
 
     tokens: [B, S] int array — the calibration corpus (reference uses 10
     sequences of 2048 alpaca tokens, `teal/grab_acts.py:56`).
+
+    Besides the reference's elementwise h1/h2 histograms, also builds
+    GROUP-SCORE histograms (keys `h1_g<G>`/`h2_g<G>`: per-position max-|x|
+    over G-channel groups) for each size in `group_sizes` — the
+    calibration data the block decode kernel's threshold mode needs
+    (TPU-structured analog of the elementwise icdf rule).
     """
     tokens = jnp.asarray(tokens, jnp.int32)
     hidden = params["embed"][tokens].astype(params["layers"]["wq"].dtype)
@@ -83,6 +90,15 @@ def calibrate(
                 hists[htype] = build_histogram(
                     vals, num_bins=num_bins, outlier_threshold=outlier_threshold
                 )
+                d = vals.shape[-1]
+                for g in group_sizes:
+                    if d % g:
+                        continue
+                    scores = np.abs(vals).reshape(-1, d // g, g).max(-1)
+                    hists[f"{htype}_g{g}"] = build_histogram(
+                        scores, num_bins=num_bins,
+                        outlier_threshold=outlier_threshold,
+                    )
             save_histograms(
                 os.path.join(out_dir, "histograms", f"layer-{l}", module),
                 hists,

@@ -98,6 +98,39 @@ def get_layer_greedy_sparsities(
     return out
 
 
+def group_thresholds_for_uniform(
+    hist_root: str,
+    cfg: ModelConfig,
+    sparsity: float,
+    group_size: int = 32,
+) -> np.ndarray:
+    """[n_layers, 7] GROUP-SCORE thresholds: a group is dropped when its
+    max-|x| score <= t, with t = icdf(sparsity) of the calibrated
+    group-score distribution (scores are non-negative, so the dropped
+    fraction is the lower `s` quantile — the structured analog of the
+    elementwise `icdf(0.5 + s/2)` rule)."""
+    th = np.zeros((cfg.n_layers, len(PROJS)), np.float32)
+    if sparsity <= 0:
+        return th
+    for l in range(cfg.n_layers):
+        hists = {}
+        for module in ("self_attn", "mlp"):
+            h = load_histograms(os.path.join(hist_root, f"layer-{l}", module))
+            for htype in ("h1", "h2"):
+                key = f"{htype}_g{group_size}"
+                if key not in h:
+                    raise KeyError(
+                        f"{key} not in layer-{l}/{module} histograms — "
+                        "re-run calibration with group_sizes including "
+                        f"{group_size}"
+                    )
+                hists[f"{module}/{htype}"] = Distribution(h[key])
+        for j, proj in enumerate(PROJS):
+            module, htype = PROJ_GROUP[proj]
+            th[l, j] = hists[f"{module}/{htype}"].icdf(sparsity)
+    return th
+
+
 def keep_fracs_from_greedy(
     lookup_root: str, cfg: ModelConfig, level: float
 ):

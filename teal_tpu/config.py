@@ -209,6 +209,12 @@ class SparsityConfig:
     # Static tuple: capacities stay compile-time constants. Uniform across
     # layers (scan-over-layers requires uniform gather capacities).
     block_keep_fracs: Optional[Tuple[float, ...]] = None
+    # When True, the block kernel applies calibrated GROUP-SCORE thresholds
+    # (the thresholds array holds group thresholds built by
+    # `group_thresholds_for_uniform`); groups below threshold contribute
+    # zero, and keep_frac becomes the static gather capacity (use a margin
+    # over 1 - sparsity). When False: pure top-k selection.
+    block_thresholding: bool = False
     # Unstructured "gather" mode capacity fraction (exact-semantics kernel).
     gather_cap_frac: float = 0.625
 

@@ -189,21 +189,29 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
     # --- attention ---
     x = rms_norm(h, lp["attn_norm"], cfg.norm_eps)          # attn h1
     kf = sp.block_keep_fracs or (sp.block_keep_frac,) * 7
+
+    def bt(name):
+        """Group-score threshold for a projection (threshold mode only)."""
+        return t[name] if sp.block_thresholding else None
+
     if use_block:
         from teal_tpu.ops import block_gemv
         if kf[0] == kf[1] == kf[2]:
             q, k, v = block_gemv.project_many(
                 x, [stacked_w("wq"), stacked_w("wk"), stacked_w("wv")],
-                sp.block_size, kf[0], layer=li,
+                sp.block_size, kf[0], layer=li, threshold=bt("q"),
             )
         else:
             # per-projection greedy profile: separate capacities
             (q,) = block_gemv.project_many(
-                x, [stacked_w("wq")], sp.block_size, kf[0], layer=li)
+                x, [stacked_w("wq")], sp.block_size, kf[0], layer=li,
+                threshold=bt("q"))
             (k,) = block_gemv.project_many(
-                x, [stacked_w("wk")], sp.block_size, kf[1], layer=li)
+                x, [stacked_w("wk")], sp.block_size, kf[1], layer=li,
+                threshold=bt("k"))
             (v,) = block_gemv.project_many(
-                x, [stacked_w("wv")], sp.block_size, kf[2], layer=li)
+                x, [stacked_w("wv")], sp.block_size, kf[2], layer=li,
+                threshold=bt("v"))
     else:
         q = _proj(x, lp["wq"], t["q"], sp, proj="q")
         k = _proj(x, lp["wk"], t["k"], sp, proj="k")
@@ -229,6 +237,7 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
         from teal_tpu.ops import block_gemv
         (o_out,) = block_gemv.project_many(
             attn, [stacked_w("wo")], sp.block_size, kf[3], layer=li,
+            threshold=bt("o"),
         )
         h = h + o_out
     else:
@@ -251,13 +260,15 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
         if kf[4] == kf[5]:
             gate, up = block_gemv.project_many(
                 y, [stacked_w("wgate"), stacked_w("wup")],
-                sp.block_size, kf[4], layer=li,
+                sp.block_size, kf[4], layer=li, threshold=bt("gate"),
             )
         else:
             (gate,) = block_gemv.project_many(
-                y, [stacked_w("wgate")], sp.block_size, kf[4], layer=li)
+                y, [stacked_w("wgate")], sp.block_size, kf[4], layer=li,
+                threshold=bt("gate"))
             (up,) = block_gemv.project_many(
-                y, [stacked_w("wup")], sp.block_size, kf[5], layer=li)
+                y, [stacked_w("wup")], sp.block_size, kf[5], layer=li,
+                threshold=bt("up"))
     else:
         gate = _proj(y, lp["wgate"], t["gate"], sp, proj="gate")
         up = _proj(y, lp["wup"], t["up"], sp, proj="up")
@@ -266,6 +277,7 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
     if use_block:
         (d_out,) = block_gemv.project_many(
             inter, [stacked_w("wdown")], sp.block_size, kf[6], layer=li,
+            threshold=bt("down"),
         )
         h = h + d_out
     else:

@@ -258,7 +258,8 @@ def block_sparse_matmul(x, w, threshold, block_size: int = 32,
 
 
 def project_many(x, ws, block_size: int = 32,
-                 keep_frac: Optional[float] = None, layer=None):
+                 keep_frac: Optional[float] = None, layer=None,
+                 threshold=None):
     """Apply the block-sparse GEMV to several weights sharing one input
     (q/k/v share the post-LN hidden state; gate/up share the MLP input —
     reference groups at `teal/mlp.py:50-56`, `teal/self_attn.py:70-84`).
@@ -274,7 +275,7 @@ def project_many(x, ws, block_size: int = 32,
     k_keep = max(1, min(nb, int(round(nb * (keep_frac if keep_frac else 0.625)))))
     lead = x.shape[:-1]
     xf = x.reshape(1, K)
-    idx, xpack = select_groups(xf, G, k_keep)
+    idx, xpack = select_groups(xf, G, k_keep, threshold=threshold)
     quantized = [isinstance(w, dict) for w in ws]
     raw = [w["q"] if q else w for w, q in zip(ws, quantized)]
     ys = block_gather_gemv_multi(idx, xpack, raw, G=G, k_keep=k_keep,

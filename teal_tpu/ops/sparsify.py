@@ -24,7 +24,8 @@ def sparsify(x, threshold):
     return jnp.where(jnp.abs(x) > threshold, x, jnp.zeros_like(x))
 
 
-def sparsify_groups(x, group_size: int, keep_frac: float):
+def sparsify_groups(x, group_size: int, keep_frac: float,
+                    threshold=None):
     """Group-granular sparsification (the accuracy twin of the block
     decode kernel): per position, keep the top `keep_frac` of
     `group_size`-channel groups by max-|x| score, zero the rest.
@@ -39,8 +40,13 @@ def sparsify_groups(x, group_size: int, keep_frac: float):
     k = max(1, min(nb, int(round(nb * keep_frac))))
     xg = x.reshape(*lead, nb, group_size)
     scores = jnp.max(jnp.abs(xg), axis=-1)              # [..., nb]
-    kth = jax.lax.top_k(scores, k)[0][..., -1:]
-    mask = scores >= kth
+    if threshold is not None:
+        # calibrated group-threshold rule (capacity-capped like the kernel)
+        kth = jax.lax.top_k(scores, k)[0][..., -1:]
+        mask = (scores >= kth) & (scores > threshold)
+    else:
+        kth = jax.lax.top_k(scores, k)[0][..., -1:]
+        mask = scores >= kth
     return (xg * mask[..., None].astype(x.dtype)).reshape(x.shape)
 
 
@@ -56,7 +62,10 @@ def apply_sparsity(x, threshold, cfg: SparsityConfig):
 
     if cfg.mode == "group":
         def rule(v):
-            return sparsify_groups(v, cfg.block_size, cfg.block_keep_frac)
+            return sparsify_groups(
+                v, cfg.block_size, cfg.block_keep_frac,
+                threshold=threshold if cfg.block_thresholding else None,
+            )
     else:
         def rule(v):
             return sparsify(v, threshold)

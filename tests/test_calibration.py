@@ -179,3 +179,46 @@ def test_run_greedy_resume(calib, tmp_path, monkeypatch):
     run_greedy(params, cfg, root, target_sparsity=0.2,
                base_step_size=0.1, layers=[0])
     assert os.path.getmtime(csv0) == mtime  # untouched on resume
+
+
+def test_group_threshold_calibration(calib):
+    """Group-score thresholds must drop ~s of the groups they were
+    calibrated on, and drive the block-threshold decode path."""
+    from teal_tpu.calibration.thresholds import group_thresholds_for_uniform
+    from teal_tpu.calibration.grab_acts import _layer_capture
+    from teal_tpu.models.llama import KVCache
+
+    cfg, params, out = calib
+    hist_root = os.path.join(out, "histograms")
+    G, s = 16, 0.5
+    # tiny model dim=64 -> groups of 16 exist; calibrate stores g32 by
+    # default; re-run capture for g16
+    out2 = out + "_g16"
+    tokens = np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 64))
+    calibrate(params, cfg, tokens, out2, num_bins=512, group_sizes=(16,),
+              save_layer_inputs=False)
+    th = group_thresholds_for_uniform(
+        os.path.join(out2, "histograms"), cfg, s, group_size=G
+    )
+    assert th.shape == (cfg.n_layers, 7)
+    assert np.all(th > 0)
+
+    # check the drop fraction on the captured h1 activations
+    a0 = jnp.asarray(load_layer_input(out, 0))
+    lp = jax.tree.map(lambda a: a[0], params["layers"])
+    _, caps = _layer_capture(lp, a0, cfg)
+    h1 = np.asarray(caps["self_attn"]["h1"])
+    scores = np.abs(h1).reshape(-1, cfg.dim // G, G).max(-1)
+    frac_dropped = np.mean(scores <= th[0, 0])
+    assert frac_dropped == pytest.approx(s, abs=0.06)
+
+    # threshold-mode ppl path runs
+    from teal_tpu.eval import eval_ppl
+
+    sp = SparsityConfig(enabled=True, mode="group", block_size=G,
+                        block_keep_frac=0.625, block_thresholding=True,
+                        apply_prefill=True)
+    ids = np.random.default_rng(1).integers(0, cfg.vocab_size, 256)
+    ppl = eval_ppl(params, cfg, ids, sp=sp, thresholds=jnp.asarray(th),
+                   context_size=64, window_size=32)
+    assert np.isfinite(ppl)
