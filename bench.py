@@ -140,6 +140,10 @@ def main():
     ap.add_argument("--random-init", action="store_true")
     ap.add_argument("--sweep", action="store_true",
                     help="also bench 40%%/75%% sparsity and int8 variants")
+    ap.add_argument("--thresholded", action="store_true",
+                    help="use in-kernel threshold selection (threshold 0 + "
+                         "capacity => same bytes read as top-k at the same "
+                         "sparsity)")
     args = ap.parse_args()
 
     from teal_tpu.config import SparsityConfig
@@ -162,6 +166,7 @@ def main():
     sparse_sp = SparsityConfig(
         enabled=True, kernel="block", block_size=args.block_size,
         block_keep_frac=1.0 - args.sparsity,
+        block_thresholding=args.thresholded,
     )
     tps_sparse = decode_tps(cfg, params, sparse_sp, args.max_seq,
                             n_short, n_long)

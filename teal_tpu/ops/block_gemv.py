@@ -205,6 +205,190 @@ def block_gather_gemv_multi(idx, xpack, ws, *, G: int, k_keep: int,
     return outs
 
 
+def _fused_select_gather_kernel(thr_ref, layer_ref, x3_ref, *refs, G: int,
+                                Ns, nb: int, cap: int, depth: int, dtypes):
+    """Selection fused into the gather: group scores are reduced on the
+    VPU, DMA'd to SMEM, and a scalar-core scan over the `nb` groups builds
+    the kept-index list and issues the weight DMAs — no XLA top-k /
+    sort / gather ops between kernels. Threshold semantics with a static
+    capacity `cap`; groups beyond capacity are dropped lowest-index-last
+    (scores are scanned in order, so the FIRST `cap` survivors win —
+    combined with a calibrated threshold the overflow case is rare)."""
+    n_w = len(Ns)
+    w_refs = refs[:n_w]
+    o_ref = refs[n_w]
+    offs = [0]
+    for N in Ns:
+        offs.append(offs[-1] + N)
+
+    def body(*scoped):
+        bufs = scoped[:n_w]
+        sems = scoped[n_w]
+        acc = scoped[n_w + 1]
+        scores_v = scoped[n_w + 2]      # VMEM (nb, 1) f32
+        scores_s = scoped[n_w + 3]      # SMEM (nb,) f32
+        idx_s = scoped[n_w + 4]         # SMEM (cap,) i32
+        cnt_s = scoped[n_w + 5]         # SMEM (1,) i32
+        ssem = scoped[n_w + 6]          # DMA sem for the scores copy
+
+        # 1. VPU: group scores (lanes beyond G are zero-padded in x3)
+        scores_v[...] = jnp.max(
+            jnp.abs(x3_ref[:, 0, :].astype(jnp.float32)),
+            axis=-1, keepdims=True,
+        )
+        # 2. scores -> SMEM
+        cp = pltpu.make_async_copy(scores_v, scores_s, ssem)
+        cp.start()
+        cp.wait()
+
+        # 3. scalar scan: threshold + capacity
+        thr = thr_ref[0]
+
+        def scan_body(i, cnt):
+            keep = (scores_s[i, 0] > thr) & (cnt < cap)
+
+            @pl.when(keep)
+            def _():
+                idx_s[cnt] = i
+
+            return cnt + jax.lax.select(keep, 1, 0)
+
+        count = jax.lax.fori_loop(0, nb, scan_body, 0)
+        cnt_s[0] = count
+
+        # pad the tail so gather indices are always valid
+        def pad_body(j, _):
+            @pl.when(j >= count)
+            def _():
+                idx_s[j] = idx_s[jnp.maximum(count - 1, 0)]
+
+            return ()
+
+        jax.lax.fori_loop(0, cap, pad_body, ())
+
+        # 4. gather + accumulate (same structure as the prefetch kernel)
+        def src_slab(wi, j):
+            start_row = pl.multiple_of(idx_s[j] * G, G)
+            if len(w_refs[wi].shape) == 3:
+                return w_refs[wi].at[layer_ref[0], pl.ds(start_row, G), :]
+            return w_refs[wi].at[pl.ds(start_row, G), :]
+
+        def start(slot, j):
+            for wi in range(n_w):
+                pltpu.make_async_copy(
+                    src_slab(wi, j), bufs[wi].at[slot], sems.at[slot, wi]
+                ).start()
+
+        for j in range(min(depth - 1, cap)):
+            @pl.when(j < count)
+            def _(j=j):
+                start(j, j)
+
+        acc[...] = jnp.zeros_like(acc)
+
+        def loop(j, _):
+            slot = jax.lax.rem(j, depth)
+
+            @pl.when(j + depth - 1 < count)
+            def _():
+                start(jax.lax.rem(j + depth - 1, depth), j + depth - 1)
+
+            @pl.when(j < count)
+            def _():
+                xi = x3_ref[idx_s[j]][:, :G]
+                for wi in range(n_w):
+                    pltpu.make_async_copy(
+                        src_slab(wi, j), bufs[wi].at[slot], sems.at[slot, wi]
+                    ).wait()
+                    wb = bufs[wi][slot]
+                    if wb.dtype != jnp.bfloat16 and wb.dtype != jnp.float32:
+                        wb = wb.astype(jnp.bfloat16)
+                    acc[:, offs[wi]:offs[wi + 1]] += jax.lax.dot_general(
+                        xi, wb,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+            return ()
+
+        jax.lax.fori_loop(0, cap, loop, ())
+        o_ref[...] = acc[...]
+
+    pl.run_scoped(
+        body,
+        *[pltpu.VMEM((depth, G, N), dt) for N, dt in zip(Ns, dtypes)],
+        pltpu.SemaphoreType.DMA((depth, n_w)),
+        pltpu.VMEM((SUBLANES, offs[-1]), jnp.float32),
+        pltpu.VMEM((nb, 1), jnp.float32),
+        pltpu.SMEM((nb, 1), jnp.float32),
+        pltpu.SMEM((cap,), jnp.int32),
+        pltpu.SMEM((1,), jnp.int32),
+        pltpu.SemaphoreType.DMA(()),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("G", "cap", "out_dtype",
+                                             "depth"))
+def fused_select_gather_gemv(x3, thr, ws, *, G: int, cap: int,
+                             out_dtype=jnp.bfloat16, depth: int = 3,
+                             layer=None):
+    """Threshold-mode sparse GEMV with in-kernel selection.
+
+    x3:  [nb, 8, 128] — group g's x values in lanes [:G], replicated over
+         sublanes, zero beyond G (built once per projection-input).
+    thr: [1] f32 group-score threshold.
+    ws:  weights, 2D [K, N] or stacked 3D [L, K, N] (+ `layer`).
+    Returns a list of [1, N_w] outputs.
+    """
+    ws = tuple(ws)
+    Ns = tuple(int(w.shape[-1]) for w in ws)
+    dtypes = tuple(w.dtype for w in ws)
+    nb = x3.shape[0]
+    n_tot = sum(Ns)
+    if layer is None:
+        layer = jnp.zeros((1,), jnp.int32)
+    else:
+        layer = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    kernel = functools.partial(
+        _fused_select_gather_kernel, G=G, Ns=Ns, nb=nb, cap=cap,
+        depth=depth, dtypes=dtypes,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,   # thr, layer
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in ws],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((SUBLANES, n_tot), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * SUBLANES * cap * G * n_tot,
+            bytes_accessed=cap * G * sum(N * w.dtype.itemsize
+                                         for N, w in zip(Ns, ws)),
+            transcendentals=0,
+        ),
+    )(jnp.asarray(thr, jnp.float32).reshape(1), layer, x3, *ws)
+    outs = []
+    off = 0
+    for N in Ns:
+        outs.append(out[:1, off:off + N].astype(out_dtype))
+        off += N
+    return outs
+
+
+def pack_x3(x, G: int):
+    """[1, K] -> [nb, 8, 128]: group values in lanes [:G], replicated over
+    sublanes (the fused kernel's input layout)."""
+    K = x.shape[-1]
+    nb = K // G
+    xg = x.reshape(nb, 1, G)
+    x3 = jnp.zeros((nb, SUBLANES, LANES), x.dtype)
+    return x3.at[:, :, :G].set(jnp.broadcast_to(xg, (nb, SUBLANES, G)))
+
+
 def group_scores(x, G: int):
     """Per-group max-|x| score. x: [1, K] -> [K//G]."""
     return jnp.max(jnp.abs(x).reshape(-1, G), axis=-1)
@@ -275,11 +459,20 @@ def project_many(x, ws, block_size: int = 32,
     k_keep = max(1, min(nb, int(round(nb * (keep_frac if keep_frac else 0.625)))))
     lead = x.shape[:-1]
     xf = x.reshape(1, K)
-    idx, xpack = select_groups(xf, G, k_keep, threshold=threshold)
     quantized = [isinstance(w, dict) for w in ws]
     raw = [w["q"] if q else w for w, q in zip(ws, quantized)]
-    ys = block_gather_gemv_multi(idx, xpack, raw, G=G, k_keep=k_keep,
-                                 out_dtype=jnp.float32, layer=layer)
+    if threshold is not None:
+        # calibrated-threshold mode: selection runs on the scalar core
+        # inside the kernel (no XLA top-k/sort/gather between launches)
+        x3 = pack_x3(xf, G)
+        ys = fused_select_gather_gemv(
+            x3, jnp.reshape(threshold, (1,)), raw, G=G, cap=k_keep,
+            out_dtype=jnp.float32, layer=layer,
+        )
+    else:
+        idx, xpack = select_groups(xf, G, k_keep)
+        ys = block_gather_gemv_multi(idx, xpack, raw, G=G, k_keep=k_keep,
+                                     out_dtype=jnp.float32, layer=layer)
     outs = []
     for y, w, q in zip(ys, ws, quantized):
         if q:

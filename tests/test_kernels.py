@@ -214,3 +214,51 @@ def test_keep_fracs_from_greedy(tmp_path):
     assert len(kf) == 7
     assert kf[0] == pytest.approx(1 - (0.2 + 0.4) / 2)
     assert kf[6] == pytest.approx(1 - (0.3 + 0.5) / 2)
+
+
+def test_fused_threshold_selection_matches_twin():
+    """project_many with a threshold routes through the in-kernel
+    selection; result must match the accuracy twin (threshold + capacity
+    semantics)."""
+    key = jax.random.PRNGKey(5)
+    kx, kw = jax.random.split(key)
+    x = jax.random.normal(kx, (1, 1, 256), jnp.float32)
+    w = jax.random.normal(kw, (256, 256), jnp.float32)
+    G, keep = 16, 0.75
+    s = np.asarray(block_gemv.group_scores(x.reshape(1, -1), G))
+    thr = float(np.median(s))
+
+    (y,) = block_gemv.project_many(x, [w], G, keep,
+                                   threshold=jnp.float32(thr))
+    nb = 256 // G
+    cap = int(round(nb * keep))
+    keep_idx = [i for i in range(nb) if s[i] > thr][:cap]
+    mask = np.zeros(nb, bool)
+    mask[keep_idx] = True
+    xm = (np.asarray(x).reshape(nb, G) * mask[:, None]).reshape(1, 1, 256)
+    ref = xm @ np.asarray(w)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-4)
+
+
+def test_block_thresholding_model_decode():
+    """Full tiny model decode with block_thresholding: threshold 0 keeps
+    first-capacity groups; must be finite and differ from dense."""
+    from teal_tpu.config import get_model_config
+    from teal_tpu.models import llama
+    from teal_tpu.models.llama import KVCache
+
+    cfg = get_model_config("tiny", dim=256, intermediate_size=512,
+                           n_heads=4, n_kv_heads=2, vocab_size=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    tok = jnp.array([[7]], jnp.int32)
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=16,
+                        block_keep_frac=0.5, block_thresholding=True)
+    cache = KVCache.init(cfg, 1, 8, jnp.float32)
+    got, _ = llama.forward(params, tok, cache, 0,
+                           llama.zero_thresholds(cfg), cfg=cfg, sp=sp)
+    assert np.isfinite(np.asarray(got)).all()
+    cache = KVCache.init(cfg, 1, 8, jnp.float32)
+    dense, _ = llama.forward(params, tok, cache, 0,
+                             llama.zero_thresholds(cfg), cfg=cfg,
+                             sp=SparsityConfig())
+    assert not np.allclose(np.asarray(got), np.asarray(dense))
