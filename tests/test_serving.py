@@ -85,3 +85,22 @@ def test_eos_stops_early(tiny):
     # generation stops at (and includes) the first eos occurrence
     expect = cont[: cont.index(eos) + 1]
     assert finished[0].out == expect
+
+
+def test_serving_with_sparsity(tiny):
+    """Continuous batching under the sparse accuracy path."""
+    from teal_tpu.config import SparsityConfig
+    from teal_tpu.models import llama as _llama
+
+    cfg, params = tiny
+    sp = SparsityConfig(enabled=True, apply_prefill=False)
+    th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
+    eng = ContinuousBatchingEngine(
+        cfg, params, slots=2, max_seq=64, temperature=0.0,
+        cache_dtype=jnp.float32, sp=sp, thresholds=th,
+    )
+    eng.submit([1, 2, 3], 4)
+    eng.submit([5, 6], 4)
+    finished = eng.run()
+    assert len(finished) == 2
+    assert all(len(r.out) == 4 for r in finished)

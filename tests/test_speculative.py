@@ -58,3 +58,24 @@ def test_different_draft_partial_acceptance(tiny):
     assert 0.0 <= stats["mean_accepted"] <= 4.0
     assert stats["new_tokens"] >= 16
     assert np.all(toks >= 0) and np.all(toks < cfg.vocab_size)
+
+
+def test_speculative_with_sparse_target(tiny):
+    """Speculative decoding composes with activation sparsity on the
+    target model (masked-dense accuracy path)."""
+    from teal_tpu.config import SparsityConfig
+
+    cfg, params = tiny
+    sp = SparsityConfig(enabled=True, apply_prefill=True)
+    th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
+    toks, stats = speculative_generate(
+        params, params, cfg, cfg, [1, 2, 3], 10,
+        speculate_k=3, temperature=0.0, max_seq=64,
+        cache_dtype=jnp.float32,
+        target_sp=sp, draft_sp=sp,
+        target_thresholds=th, draft_thresholds=th,
+        key=jax.random.PRNGKey(1),
+    )
+    # identical (sparse) target and draft still accept everything
+    assert stats["mean_accepted"] == 3.0
+    assert stats["new_tokens"] >= 10
