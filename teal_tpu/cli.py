@@ -53,10 +53,18 @@ def _thresholds(args, cfg):
     import numpy as np
 
     from teal_tpu.calibration import thresholds_for_uniform
-    from teal_tpu.calibration.thresholds import thresholds_for_greedy
+    from teal_tpu.calibration.thresholds import (
+        group_thresholds_for_uniform,
+        thresholds_for_greedy,
+    )
 
     if not args.hist_path or args.sparsity == 0:
         return np.zeros((cfg.n_layers, 7), np.float32)
+    if getattr(args, "group_thresholds", False):
+        return group_thresholds_for_uniform(
+            args.hist_path, cfg, args.sparsity,
+            group_size=getattr(args, "block_size", 32),
+        )
     if getattr(args, "greedy", False):
         import os
 
@@ -78,7 +86,9 @@ def cmd_generate(args):
 
     sp = SparsityConfig(enabled=args.sparsity > 0, kernel=args.kernel,
                         block_size=args.block_size,
-                        block_keep_frac=1.0 - args.sparsity)
+                        block_keep_frac=(1.0 - args.sparsity)
+                        * (1.25 if args.group_thresholds else 1.0),
+                        block_thresholding=args.group_thresholds)
     thresholds = _thresholds(args, cfg)
     gen = Generator(cfg, params, sp=sp, max_seq=args.max_seq,
                     temperature=args.temperature, top_k=args.top_k)
@@ -118,8 +128,11 @@ def cmd_calibrate(args):
     ids = np.mod(ids, cfg.vocab_size)
     ids = (list(ids) * (n // max(len(ids), 1) + 1))[:n]
     tokens = np.asarray(ids).reshape(args.batch, args.seq_len)
+    group_sizes = tuple(int(x) for x in args.group_sizes.split(",")) \
+        if args.group_sizes else (32,)
     calibrate(params, cfg, tokens, args.output_path,
-              save_layer_inputs=not args.no_layer_inputs, progress=True)
+              save_layer_inputs=not args.no_layer_inputs,
+              group_sizes=group_sizes, progress=True)
     print(f"calibration artifacts written to {args.output_path}")
 
 
@@ -210,6 +223,9 @@ def main(argv=None):
     g.add_argument("--block-size", type=int, default=32)
     g.add_argument("--hist-path", default=None)
     g.add_argument("--greedy", action="store_true")
+    g.add_argument("--group-thresholds", action="store_true",
+                   help="use calibrated group-score thresholds (block "
+                        "kernel threshold mode; needs group histograms)")
     g.set_defaults(fn=cmd_generate)
 
     c = sub.add_parser("calibrate")
@@ -221,6 +237,9 @@ def main(argv=None):
     c.add_argument("--batch", type=int, default=10)
     c.add_argument("--seq-len", type=int, default=2048)
     c.add_argument("--no-layer-inputs", action="store_true")
+    c.add_argument("--group-sizes", default="32",
+                   help="comma-separated group sizes for group-score "
+                        "histograms (block threshold mode)")
     c.set_defaults(fn=cmd_calibrate)
 
     o = sub.add_parser("greedyopt")
