@@ -72,7 +72,7 @@ def build(model_name: str, max_seq: int, dtype, random_init: bool = False):
 
 
 def decode_tps(cfg, params, sp, max_seq: int, n_short: int, n_long: int,
-               reps: int = 3) -> float:
+               reps: int = 3, batch: int = 1) -> float:
     """tokens/s from slope timing of an on-device greedy decode scan."""
     from teal_tpu.models import llama
     from teal_tpu.models.llama import KVCache
@@ -102,8 +102,9 @@ def decode_tps(cfg, params, sp, max_seq: int, n_short: int, n_long: int,
     th = jnp.zeros((cfg.n_layers, 7), jnp.float32)
 
     def fresh(i):
-        cache = KVCache.init(cfg, 1, max_seq, dtype)
-        token = jnp.asarray([i % cfg.vocab_size], jnp.int32)
+        cache = KVCache.init(cfg, batch, max_seq, dtype)
+        token = jnp.asarray([(i + j) % cfg.vocab_size for j in range(batch)],
+                            jnp.int32)
         return cache, token
 
     # device_get is the only reliable execution barrier on this runtime
@@ -114,20 +115,25 @@ def decode_tps(cfg, params, sp, max_seq: int, n_short: int, n_long: int,
 
     slopes = []
     for r in range(reps):
+        # build each donated cache right before its run (headroom above a
+        # 7B model is ~1.5 GB; overlapping cache lifetimes OOM at batch>1)
         cs, ts_ = fresh(2 + 2 * r)
-        cl, tl_ = fresh(3 + 2 * r)
         t0 = time.perf_counter()
         jax.device_get(run_s(params, cs, ts_, th))
         t1 = time.perf_counter()
+        del cs
+        cl, tl_ = fresh(3 + 2 * r)
+        t1b = time.perf_counter()
         jax.device_get(run_l(params, cl, tl_, th))
         t2 = time.perf_counter()
-        slopes.append(((t2 - t1) - (t1 - t0)) / (n_long - n_short))
+        del cl
+        slopes.append(((t2 - t1b) - (t1 - t0)) / (n_long - n_short))
     slopes.sort()
     per_tok = slopes[len(slopes) // 2]
     t_s = per_tok * n_short
     if not (t_s > 0):
         raise RuntimeError("non-positive decode slope — sync failure?")
-    return 1.0 / per_tok
+    return batch / per_tok
 
 
 def main():
@@ -140,6 +146,8 @@ def main():
     ap.add_argument("--random-init", action="store_true")
     ap.add_argument("--sweep", action="store_true",
                     help="also bench 40%%/75%% sparsity and int8 variants")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="decode batch size (sparse block mode supports <=8)")
     ap.add_argument("--thresholded", action="store_true",
                     help="use in-kernel threshold selection (threshold 0 + "
                          "capacity => same bytes read as top-k at the same "
@@ -159,7 +167,7 @@ def main():
 
     dense_sp = SparsityConfig(enabled=False)
     tps_dense = decode_tps(cfg, params, dense_sp, args.max_seq,
-                           n_short, n_long)
+                           n_short, n_long, batch=args.batch)
     log(f"dense:  {tps_dense:.2f} tok/s  "
         f"({model_gb * tps_dense:.0f} GB/s effective)")
 
@@ -169,7 +177,7 @@ def main():
         block_thresholding=args.thresholded,
     )
     tps_sparse = decode_tps(cfg, params, sparse_sp, args.max_seq,
-                            n_short, n_long)
+                            n_short, n_long, batch=args.batch)
     log(f"sparse: {tps_sparse:.2f} tok/s  "
         f"({model_gb * (1 - args.sparsity) * tps_sparse:.0f} GB/s effective)")
 

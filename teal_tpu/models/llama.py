@@ -171,9 +171,11 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
         cos = jnp.broadcast_to(cos[None], (b,) + cos.shape)
         sin = jnp.broadcast_to(sin[None], (b,) + sin.shape)
     t = {p: thresholds[i] for i, p in enumerate(PROJS)}
-    # block-kernel fast path: single-token decode, batch 1 (the reference
-    # engine is batch-1 decode too, gpt-fast/generate.py)
-    use_block = (sp.enabled and sp.kernel == "block" and s == 1 and b == 1)
+    # block-kernel fast path: single-token decode, batch <= 8 (batch > 1
+    # rides the MXU lhs rows for free with a batch-pooled shared group
+    # selection — beyond the reference's batch-1-only engine)
+    use_block = (sp.enabled and sp.kernel == "block" and s == 1
+                 and b <= 8)
 
     def stacked_w(name):
         """Weight for the block kernel: stacked 3D when available."""
@@ -192,26 +194,31 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
 
     def bt(name):
         """Group-score threshold for a projection (threshold mode only)."""
-        return t[name] if sp.block_thresholding else None
+        return t[name] if (sp.block_thresholding and b == 1) else None
+
+    def blockproj(inp, names, frac, thr):
+        """Block-sparse projections for 1 <= b <= 8 single-token inputs."""
+        from teal_tpu.ops import block_gemv
+
+        ws = [stacked_w(n) for n in names]
+        if b == 1:
+            return block_gemv.project_many(
+                inp, ws, sp.block_size, frac, layer=li, threshold=thr
+            )
+        outs = block_gemv.project_many_batched(
+            inp.reshape(b, inp.shape[-1]), ws, sp.block_size, frac,
+            layer=li,
+        )
+        return [o.reshape(b, 1, -1) for o in outs]
 
     if use_block:
-        from teal_tpu.ops import block_gemv
         if kf[0] == kf[1] == kf[2]:
-            q, k, v = block_gemv.project_many(
-                x, [stacked_w("wq"), stacked_w("wk"), stacked_w("wv")],
-                sp.block_size, kf[0], layer=li, threshold=bt("q"),
-            )
+            q, k, v = blockproj(x, ["wq", "wk", "wv"], kf[0], bt("q"))
         else:
             # per-projection greedy profile: separate capacities
-            (q,) = block_gemv.project_many(
-                x, [stacked_w("wq")], sp.block_size, kf[0], layer=li,
-                threshold=bt("q"))
-            (k,) = block_gemv.project_many(
-                x, [stacked_w("wk")], sp.block_size, kf[1], layer=li,
-                threshold=bt("k"))
-            (v,) = block_gemv.project_many(
-                x, [stacked_w("wv")], sp.block_size, kf[2], layer=li,
-                threshold=bt("v"))
+            (q,) = blockproj(x, ["wq"], kf[0], bt("q"))
+            (k,) = blockproj(x, ["wk"], kf[1], bt("k"))
+            (v,) = blockproj(x, ["wv"], kf[2], bt("v"))
     else:
         q = _proj(x, lp["wq"], t["q"], sp, proj="q")
         k = _proj(x, lp["wk"], t["k"], sp, proj="k")
@@ -234,11 +241,7 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
     attn = _attention(q, kc, vc, pos, s, kc.shape[2], cfg.sliding_window)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1)      # attn h2
     if use_block:
-        from teal_tpu.ops import block_gemv
-        (o_out,) = block_gemv.project_many(
-            attn, [stacked_w("wo")], sp.block_size, kf[3], layer=li,
-            threshold=bt("o"),
-        )
+        (o_out,) = blockproj(attn, ["wo"], kf[3], bt("o"))
         h = h + o_out
     else:
         h = h + _proj(attn, lp["wo"], t["o"], sp, proj="o")
@@ -256,29 +259,18 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
             raise NotImplementedError("capture mode not supported for MoE")
         return h, kc, vc, caps
     if use_block:
-        from teal_tpu.ops import block_gemv
         if kf[4] == kf[5]:
-            gate, up = block_gemv.project_many(
-                y, [stacked_w("wgate"), stacked_w("wup")],
-                sp.block_size, kf[4], layer=li, threshold=bt("gate"),
-            )
+            gate, up = blockproj(y, ["wgate", "wup"], kf[4], bt("gate"))
         else:
-            (gate,) = block_gemv.project_many(
-                y, [stacked_w("wgate")], sp.block_size, kf[4], layer=li,
-                threshold=bt("gate"))
-            (up,) = block_gemv.project_many(
-                y, [stacked_w("wup")], sp.block_size, kf[5], layer=li,
-                threshold=bt("up"))
+            (gate,) = blockproj(y, ["wgate"], kf[4], bt("gate"))
+            (up,) = blockproj(y, ["wup"], kf[5], bt("up"))
     else:
         gate = _proj(y, lp["wgate"], t["gate"], sp, proj="gate")
         up = _proj(y, lp["wup"], t["up"], sp, proj="up")
     inter = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
     # `inter` is mlp h2
     if use_block:
-        (d_out,) = block_gemv.project_many(
-            inter, [stacked_w("wdown")], sp.block_size, kf[6], layer=li,
-            threshold=bt("down"),
-        )
+        (d_out,) = blockproj(inter, ["wdown"], kf[6], bt("down"))
         h = h + d_out
     else:
         h = h + _proj(inter, lp["wdown"], t["down"], sp, proj="down")

@@ -152,10 +152,10 @@ def _manual_gather_kernel(idx_ref, layer_ref, x_ref, *refs, G: int, Ns,
 
 
 @functools.partial(jax.jit, static_argnames=("G", "k_keep", "out_dtype",
-                                             "depth"))
+                                             "depth", "out_rows"))
 def block_gather_gemv_multi(idx, xpack, ws, *, G: int, k_keep: int,
                             out_dtype=jnp.bfloat16, depth: int = 3,
-                            layer=None):
+                            layer=None, out_rows: int = 1):
     """Fused multi-weight gather GEMV: one launch gathers each kept G-row
     slab from EVERY weight (q/k/v or gate/up share one selection and one
     kernel — the TPU analog of the reference's fused-QKV kernel,
@@ -200,7 +200,7 @@ def block_gather_gemv_multi(idx, xpack, ws, *, G: int, k_keep: int,
     outs = []
     off = 0
     for N in Ns:
-        outs.append(out[:1, off:off + N].astype(out_dtype))
+        outs.append(out[:out_rows, off:off + N].astype(out_dtype))
         off += N
     return outs
 
@@ -419,6 +419,58 @@ def select_groups(x, G: int, k_keep: int,
     xpack = jnp.zeros((xg.shape[0], SUBLANES, LANES), x.dtype)
     xpack = xpack.at[:, :, :G].set(xg[:, None, :])
     return idx.astype(jnp.int32), xpack
+
+
+def select_groups_batched(x, G: int, k_keep: int):
+    """Batched (B <= 8) selection: groups picked by the max score across
+    the batch (shared kept set — the union-biased compromise that keeps
+    the gather capacity static), xpack rows 0..B-1 carry each sequence's
+    values. The MXU lhs has 8 rows regardless, so batched decode costs the
+    same HBM traffic as batch-1."""
+    B, K = x.shape
+    assert B <= SUBLANES, (B, SUBLANES)
+    nb = K // G
+    scores = jnp.max(jnp.abs(x).reshape(B, nb, G), axis=-1)   # [B, nb]
+    pooled = jnp.max(scores, axis=0)                          # [nb]
+    _, idx = jax.lax.top_k(pooled, k_keep)
+    idx = jnp.sort(idx)
+    xg = x.reshape(B, nb, G)[:, idx]                          # [B, k, G]
+    xpack = jnp.zeros((k_keep, SUBLANES, LANES), x.dtype)
+    xpack = xpack.at[:, :B, :G].set(jnp.swapaxes(xg, 0, 1))
+    return idx.astype(jnp.int32), xpack
+
+
+def project_many_batched(x, ws, block_size: int = 32,
+                         keep_frac: Optional[float] = None, layer=None):
+    """Batched (B <= 8) block-sparse projections sharing one input batch.
+    x: [B, K]; returns list of [B, N_w]."""
+    B, K = x.shape
+    G = effective_block_size(block_size, K)
+    nb = K // G
+    k_keep = max(1, min(nb, int(round(nb * (keep_frac if keep_frac else 0.625)))))
+    idx, xpack = select_groups_batched(x, G, k_keep)
+    quantized = [isinstance(w, dict) for w in ws]
+    raw = [w["q"] if q else w for w, q in zip(ws, quantized)]
+    ys = block_gather_gemv_multi(idx, xpack, raw, G=G, k_keep=k_keep,
+                                 out_dtype=jnp.float32, layer=layer,
+                                 out_rows=B)
+    outs = []
+    for y, w, q in zip(ys, ws, quantized):
+        if q:
+            y = y * w["scale"][None, :]
+        outs.append(y.astype(x.dtype))
+    return outs
+
+
+def batched_group_mask(x, G: int, k_keep: int):
+    """Semantics twin of the batched selection: [B, K] keep mask."""
+    B, K = x.shape
+    nb = K // G
+    scores = jnp.max(jnp.abs(x).reshape(B, nb, G), axis=-1)
+    pooled = jnp.max(scores, axis=0)
+    _, idx = jax.lax.top_k(pooled, k_keep)
+    mask = jnp.zeros((nb,), bool).at[idx].set(True)
+    return jnp.repeat(mask, G)[None, :]
 
 
 def block_sparse_matmul(x, w, threshold, block_size: int = 32,

@@ -262,3 +262,54 @@ def test_block_thresholding_model_decode():
                              llama.zero_thresholds(cfg), cfg=cfg,
                              sp=SparsityConfig())
     assert not np.allclose(np.asarray(got), np.asarray(dense))
+
+
+def test_batched_block_decode_matches_twin():
+    """Batched (B<=8) sparse GEMV: per-row outputs equal the masked-dense
+    twin under the pooled-score shared mask."""
+    key = jax.random.PRNGKey(8)
+    kx, kw1, kw2 = jax.random.split(key, 3)
+    B, K = 3, 256
+    x = jax.random.normal(kx, (B, K), jnp.float32)
+    ws = [jax.random.normal(kw1, (K, 128), jnp.float32),
+          jax.random.normal(kw2, (K, 256), jnp.float32)]
+    G, keep = 16, 0.5
+    ys = block_gemv.project_many_batched(x, ws, G, keep)
+    nb = K // G
+    mask = np.asarray(block_gemv.batched_group_mask(x, G, int(nb * keep)))
+    xm = np.asarray(x) * mask
+    for w, y in zip(ws, ys):
+        ref = xm @ np.asarray(w)
+        assert y.shape == (B, w.shape[1])
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-4)
+
+
+def test_batched_model_block_decode():
+    """Model-level batched (B=4) block decode: finite and per-slot
+    independent from the batch-1 path at keep=1.0 (dense degeneracy)."""
+    from teal_tpu.config import get_model_config
+    from teal_tpu.models import llama
+    from teal_tpu.models.llama import KVCache
+
+    cfg = get_model_config("tiny", dim=256, intermediate_size=512,
+                           n_heads=4, n_kv_heads=2, vocab_size=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    th = llama.zero_thresholds(cfg)
+    toks = jnp.array([[7], [9], [2], [5]], jnp.int32)
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=16,
+                        block_keep_frac=1.0)
+    cache = KVCache.init(cfg, 4, 8, jnp.float32)
+    got, _ = llama.forward(params, toks, cache, 0, th, cfg=cfg, sp=sp)
+
+    cache = KVCache.init(cfg, 4, 8, jnp.float32)
+    dense, _ = llama.forward(params, toks, cache, 0, th, cfg=cfg,
+                             sp=SparsityConfig())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(dense),
+                               rtol=1e-4, atol=1e-3)
+
+    # sparse batched: finite, differs from dense
+    sp2 = sp.replace(block_keep_frac=0.5)
+    cache = KVCache.init(cfg, 4, 8, jnp.float32)
+    got2, _ = llama.forward(params, toks, cache, 0, th, cfg=cfg, sp=sp2)
+    assert np.isfinite(np.asarray(got2)).all()
+    assert not np.allclose(np.asarray(got2), np.asarray(dense))
