@@ -104,3 +104,27 @@ def test_serving_with_sparsity(tiny):
     finished = eng.run()
     assert len(finished) == 2
     assert all(len(r.out) == 4 for r in finished)
+
+
+def test_serving_with_block_kernel():
+    """Continuous batching drives the batched block-sparse decode path
+    (slots <= 8 => kernel batch rows)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from teal_tpu.config import SparsityConfig, get_model_config
+
+    cfg = get_model_config("tiny", dim=256, intermediate_size=512,
+                          n_heads=4, n_kv_heads=2, vocab_size=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(2), jnp.float32)
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=16,
+                        block_keep_frac=0.5)
+    eng = ContinuousBatchingEngine(
+        cfg, params, slots=2, max_seq=32, temperature=0.0,
+        cache_dtype=jnp.float32, sp=sp,
+    )
+    eng.submit([1, 2, 3], 4)
+    eng.submit([5, 6], 4)
+    with pltpu.force_tpu_interpret_mode():
+        finished = eng.run()
+    assert len(finished) == 2
+    assert all(len(r.out) == 4 for r in finished)
+    assert all(all(0 <= t < cfg.vocab_size for t in r.out) for r in finished)
