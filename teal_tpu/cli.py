@@ -43,7 +43,13 @@ def _load_model(args, dtype=None):
         else:
             params = checkpoint.load_hf_checkpoint(args.checkpoint, cfg, dtype)
     elif args.random_init:
-        params = llama.init_params(cfg, jax.random.PRNGKey(args.seed), dtype)
+        import functools
+
+        # jit so per-leaf fp32 RNG temps fuse into the bf16 outputs (an
+        # eager init materializes a 5.8 GB fp32 temp for a 7B gate stack)
+        params = jax.jit(
+            functools.partial(llama.init_params, cfg, dtype=dtype)
+        )(jax.random.PRNGKey(args.seed))
     else:
         raise SystemExit("need --checkpoint or --random-init")
     return cfg, params
