@@ -100,6 +100,8 @@ def cmd_generate(args):
                     temperature=args.temperature, top_k=args.top_k)
 
     ids = tok.encode(args.prompt, bos=True)
+    if args.num_samples > 1:
+        gen.warmup(prompt_len=len(ids))
     for i in range(args.num_samples):
         t0 = time.time()
         out, stats = gen.generate(

@@ -116,6 +116,13 @@ class Generator:
         return KVCache.init(self.cfg, self.batch, self.max_seq,
                             self.cache_dtype)
 
+    def warmup(self, prompt_len: int = 4, new_tokens: int = 2) -> None:
+        """Compile + execute the prefill/decode programs once so later
+        `generate` timings are warm (the reference times 5 samples after a
+        warm-up sample, gpt-fast/generate.py:431-497)."""
+        prompt = np.ones((self.batch, prompt_len), np.int64)
+        self.generate(prompt, new_tokens)
+
     def generate(self, prompt_tokens, max_new_tokens: int, *,
                  thresholds=None, key=None, on_device_loop: bool = True
                  ) -> Tuple[np.ndarray, GenerateStats]:
