@@ -98,51 +98,122 @@ def get_layer_greedy_sparsities(
     return out
 
 
+def proj_group_size(cfg: ModelConfig, proj: str, block_size: int) -> int:
+    """The RUNTIME-effective gather group size of a projection: the block
+    kernel doubles deep input dims' group size to amortize its fixed
+    per-step cost (`block_gemv.effective_block_size`), so group-score
+    thresholds must be calibrated at that size — max-|x| over 64 channels
+    is stochastically larger than over 32, and a 32-calibrated threshold
+    would under-drop."""
+    from teal_tpu.ops.block_gemv import effective_block_size
+
+    return effective_block_size(block_size, cfg.proj_shape(proj)[0])
+
+
+def model_group_sizes(cfg: ModelConfig, block_size: int = 32):
+    """All runtime-effective group sizes this model needs calibrated
+    (what `calibrate(group_sizes=...)` should include)."""
+    return tuple(sorted({proj_group_size(cfg, p, block_size) for p in PROJS}))
+
+
+def group_thresholds_from_sparsities(
+    hist_root: str,
+    cfg: ModelConfig,
+    sparsities: np.ndarray,
+    block_size: int = 32,
+) -> np.ndarray:
+    """sparsities [n_layers, 7] → [n_layers, 7] GROUP-SCORE thresholds:
+    a group is dropped when its max-|x| score <= t, with t =
+    icdf(sparsity) of the calibrated group-score distribution (scores are
+    non-negative, so the dropped fraction is the lower `s` quantile — the
+    structured analog of the elementwise `icdf(0.5 + s/2)` rule).
+
+    Each projection's thresholds come from the histogram calibrated at
+    its RUNTIME-effective group size (see `proj_group_size`). Per-layer
+    non-uniform schedules are first-class: thresholds are data ([L, 7])
+    in the fast engine, so greedy per-layer profiles run at full speed
+    (the reference never wired greedy into its fast engine,
+    README.md:109)."""
+    sparsities = np.asarray(sparsities, np.float64)
+    th = np.zeros((cfg.n_layers, len(PROJS)), np.float32)
+    gsizes = {p: proj_group_size(cfg, p, block_size) for p in PROJS}
+    for l in range(cfg.n_layers):
+        hists = {}
+        for module in ("self_attn", "mlp"):
+            hists[module] = load_histograms(
+                os.path.join(hist_root, f"layer-{l}", module)
+            )
+        distrs = {}
+        for j, proj in enumerate(PROJS):
+            module, htype = PROJ_GROUP[proj]
+            key = f"{htype}_g{gsizes[proj]}"
+            if key not in hists[module]:
+                raise KeyError(
+                    f"{key} not in layer-{l}/{module} histograms — "
+                    "re-run calibration with group_sizes including "
+                    f"{gsizes[proj]} (see model_group_sizes)"
+                )
+            if key not in distrs:
+                distrs[key + module] = Distribution(hists[module][key])
+            s = float(sparsities[l, j])
+            th[l, j] = distrs[key + module].icdf(s) if s > 0 else 0.0
+    return th
+
+
 def group_thresholds_for_uniform(
     hist_root: str,
     cfg: ModelConfig,
     sparsity: float,
     group_size: int = 32,
 ) -> np.ndarray:
-    """[n_layers, 7] GROUP-SCORE thresholds: a group is dropped when its
-    max-|x| score <= t, with t = icdf(sparsity) of the calibrated
-    group-score distribution (scores are non-negative, so the dropped
-    fraction is the lower `s` quantile — the structured analog of the
-    elementwise `icdf(0.5 + s/2)` rule)."""
-    th = np.zeros((cfg.n_layers, len(PROJS)), np.float32)
+    """[n_layers, 7] group-score thresholds at one uniform sparsity
+    (see `group_thresholds_from_sparsities`)."""
     if sparsity <= 0:
-        return th
-    for l in range(cfg.n_layers):
-        hists = {}
-        for module in ("self_attn", "mlp"):
-            h = load_histograms(os.path.join(hist_root, f"layer-{l}", module))
-            for htype in ("h1", "h2"):
-                key = f"{htype}_g{group_size}"
-                if key not in h:
-                    raise KeyError(
-                        f"{key} not in layer-{l}/{module} histograms — "
-                        "re-run calibration with group_sizes including "
-                        f"{group_size}"
-                    )
-                hists[f"{module}/{htype}"] = Distribution(h[key])
-        for j, proj in enumerate(PROJS):
-            module, htype = PROJ_GROUP[proj]
-            th[l, j] = hists[f"{module}/{htype}"].icdf(sparsity)
-    return th
+        return np.zeros((cfg.n_layers, len(PROJS)), np.float32)
+    s = np.full((cfg.n_layers, len(PROJS)), sparsity, np.float64)
+    return group_thresholds_from_sparsities(hist_root, cfg, s, group_size)
 
 
 def keep_fracs_from_greedy(
     lookup_root: str, cfg: ModelConfig, level: float
 ):
-    """Per-projection keep fractions for the block fast engine from a
-    greedy lookup: 1 - mean-over-layers of each projection's greedy
-    sparsity at the given effective level. (The fast engine's gather
-    capacities are compile-time constants, so the per-layer dimension is
-    averaged; per-layer-exact block capacities would need an unrolled
-    layer loop.) Returns a 7-tuple in PROJS order."""
+    """Per-projection keep fractions for the block fast engine's TOP-K
+    mode from a greedy lookup: 1 - mean-over-layers of each projection's
+    greedy sparsity at the given effective level (top-k capacities are
+    compile-time constants, so the per-layer dimension is averaged).
+    For per-layer-EXACT greedy schedules use the threshold mode instead
+    (`group_thresholds_for_greedy` + `capacity_fracs_for_greedy`) — there
+    the per-layer profile is data. Returns a 7-tuple in PROJS order."""
     sparsities = get_layer_greedy_sparsities(lookup_root, cfg, level)
     mean = np.clip(sparsities, 0.0, 1.0).mean(axis=0)
     return tuple(float(1.0 - m) for m in mean)
+
+
+def group_thresholds_for_greedy(
+    teal_root: str, cfg: ModelConfig, level: float, block_size: int = 32
+) -> np.ndarray:
+    """Per-layer greedy schedule → [n_layers, 7] group-score thresholds
+    (threshold mode makes per-layer capacities DATA: the kernel's DMA
+    loop only gathers surviving groups, so each layer reads exactly its
+    own schedule's bytes under one static capacity bound)."""
+    sparsities = get_layer_greedy_sparsities(
+        os.path.join(teal_root, "lookup"), cfg, level
+    )
+    return group_thresholds_from_sparsities(
+        os.path.join(teal_root, "histograms"), cfg, sparsities, block_size
+    )
+
+
+def capacity_fracs_for_greedy(
+    lookup_root: str, cfg: ModelConfig, level: float, margin: float = 1.25
+):
+    """Static per-projection gather-capacity bound for a per-layer greedy
+    schedule run in threshold mode: margin x the largest per-layer keep
+    fraction of each projection. Returns a 7-tuple in PROJS order."""
+    sparsities = get_layer_greedy_sparsities(lookup_root, cfg, level)
+    keep = 1.0 - np.clip(sparsities, 0.0, 1.0)
+    cap = np.minimum(1.0, keep.max(axis=0) * margin)
+    return tuple(float(c) for c in cap)
 
 
 def thresholds_for_greedy(

@@ -1,11 +1,15 @@
 """Sliding-window perplexity (the accuracy regression harness).
 
 Windowing parity with the reference (`utils/eval_ppl.py:13-72`):
-  - token stream truncated to a multiple of `window_size` (stride);
-  - windows of `context_size + window_size` tokens starting every stride;
+  - windows of `context_size + window_size` tokens starting every stride,
+    sliced from the UNTRUNCATED stream (the reference truncates only the
+    loop bound `seq_len` to a stride multiple; trailing windows still
+    include the remainder tokens, and the loop breaks once a window's
+    unclamped end reaches `seq_len`);
   - NLL computed only on the last `window_size` labels of each window
-    (`target_ids[:, :-stride] = -100`), i.e. each token is scored with at
-    least `context_size` tokens of context;
+    (`target_ids[:, :-stride] = -100`; a final window shorter than the
+    stride scores all its labels, matching the empty `[:-stride]` slice),
+    i.e. each token is scored with at least `context_size` of context;
   - ppl = exp(mean over windows of each window's mean NLL) — windows are
     weighted equally even if the final one is short, as in the reference.
 
@@ -66,14 +70,14 @@ def eval_ppl(
     ids = np.asarray(token_ids).reshape(-1)
     stride = window_size
     max_length = context_size + window_size
-    seq_len = len(ids) - (len(ids) % stride)
+    seq_len = len(ids) - (len(ids) % stride)   # loop bound only
     if seq_len < 2:
         raise ValueError(f"token stream too short: {len(ids)}")
 
     nlls = []
     for begin in range(0, seq_len, stride):
-        end = min(begin + max_length, seq_len)
-        window = ids[begin:end]
+        end = begin + max_length               # unclamped, as in reference
+        window = ids[begin:end]                # full-stream slice
         n_valid = len(window)
         padded = np.zeros(max_length, dtype=np.int64)
         padded[:n_valid] = window

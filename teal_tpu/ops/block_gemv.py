@@ -14,10 +14,12 @@ VMEM-resident fp32 output block (deterministic accumulation, unlike the
 reference's fp16 `atomic_add` split-K, sparse_gemv.py:83).
 
 Capacity is static (jit-specialized per sparsity level, the analog of the
-reference's SPARSITY_BIN autotune key, sparse_gemv.py:47): selection is
-top-`k_keep` groups by score, with optional threshold semantics layered on
-top (below-threshold groups inside the top-k contribute zero but may still
-be read; survivors beyond capacity are dropped — bounded approximation).
+reference's SPARSITY_BIN autotune key, sparse_gemv.py:47). Selection
+follows THE unified rule (docs/KERNEL_NOTES.md "Selection semantics"):
+top-`k_keep` groups by score in top-k mode, or — in threshold mode —
+survivors (`score > t`) in ascending index order, first `k_keep` kept.
+Both are implemented identically here, in the fused kernel's scalar-core
+scan, and in the accuracy path (`sparsify.sparsify_groups`).
 
 Weight layout: plain 2D `[K, N]` (K = input dim). Group slabs at G-row
 granularity are contiguous tile-rows in the TPU's tiled layout, so gather
@@ -397,25 +399,37 @@ def group_scores(x, G: int):
 def select_groups(x, G: int, k_keep: int,
                   threshold: Optional[jax.Array] = None
                   ) -> Tuple[jax.Array, jax.Array]:
-    """Pick top-k_keep groups by score; build (idx, xpack) kernel inputs.
+    """Build (idx, xpack) kernel inputs under THE unified selection rule
+    (docs/KERNEL_NOTES.md "Selection semantics"):
 
-    With `threshold`, groups whose score <= threshold contribute zero
-    (exact group-threshold semantics as long as the survivor count fits in
-    k_keep; beyond-capacity survivors are dropped lowest-score-first).
+      - top-k mode (`threshold=None`): the top `k_keep` groups by
+        max-|x| score.
+      - threshold mode: survivors (`score > threshold`) in ascending
+        index order, first `k_keep` kept — identical to the fused
+        kernel's scalar-core scan and to `sparsify_groups(threshold=)`.
+        Dropped/padded slots contribute zero.
     """
     nb = x.shape[-1] // G
-    if k_keep >= nb:
+    if k_keep >= nb and threshold is None:
         # dense fast path: every group kept — no scoring/top-k needed
         idx = jnp.arange(nb, dtype=jnp.int32)
         xg = x.reshape(nb, G)
+    elif threshold is not None:
+        s = group_scores(x, G)
+        surv = s > threshold
+        mask = surv & (jnp.cumsum(surv) <= k_keep)
+        # kept indices in ascending order; pad with sentinel nb
+        order = jnp.where(mask, jnp.arange(nb), nb)
+        idx = jnp.sort(order)[: min(k_keep, nb)]
+        pad = idx >= nb
+        idx = jnp.where(pad, 0, idx)
+        xg = x.reshape(nb, G)[idx]                   # [k_keep, G]
+        xg = jnp.where(pad[:, None], 0, xg)
     else:
         s = group_scores(x, G)
         top_s, idx = jax.lax.top_k(s, k_keep)
         idx = jnp.sort(idx)
         xg = x.reshape(nb, G)[idx]                   # [k_keep, G]
-        if threshold is not None:
-            keep = s[idx] > threshold
-            xg = jnp.where(keep[:, None], xg, 0)
     xpack = jnp.zeros((xg.shape[0], SUBLANES, LANES), x.dtype)
     xpack = xpack.at[:, :, :G].set(xg[:, None, :])
     return idx.astype(jnp.int32), xpack
@@ -536,7 +550,7 @@ def project_many(x, ws, block_size: int = 32,
 def block_sparse_matmul_reference(x, w, threshold, block_size: int = 32,
                                   keep_frac: Optional[float] = None):
     """Pure-jnp semantics twin of `block_sparse_matmul` (tests/accuracy
-    path): same group selection, dense math."""
+    path): same unified selection rule, dense math."""
     K, N = w.shape
     G = effective_block_size(block_size, K)
     nb = K // G
@@ -544,10 +558,12 @@ def block_sparse_matmul_reference(x, w, threshold, block_size: int = 32,
     lead = x.shape[:-1]
     xf = x.reshape(1, K)
     s = group_scores(xf, G)
-    top_s, idx = jax.lax.top_k(s, k_keep)
-    mask = jnp.zeros((nb,), bool).at[idx].set(True)
     if threshold is not None:
-        mask &= s > threshold
+        surv = s > threshold
+        mask = surv & (jnp.cumsum(surv) <= k_keep)
+    else:
+        top_s, idx = jax.lax.top_k(s, k_keep)
+        mask = jnp.zeros((nb,), bool).at[idx].set(True)
     xm = jnp.where(jnp.repeat(mask, G)[None, :], xf, 0)
     y = jnp.matmul(xm, w, preferred_element_type=jnp.float32).astype(x.dtype)
     return y.reshape(*lead, N)

@@ -165,6 +165,36 @@ def quantize_params_int8(params) -> Dict:
     return out
 
 
+def quantize_params_int4(params, group: int = 128) -> Dict:
+    """Quantize the seven projection stacks to groupwise-affine int4 (RTN;
+    for Hessian-compensated quantization use
+    `calibration.gptq_runner.gptq_quantize_model`). Each projection leaf
+    becomes {"q": int8 [L,K,N] holding [-8,7], "scale": [L,K//g,N],
+    "zero": [L,K//g,N]}; the group size is clamped per projection to
+    divide its input dim (reference pads instead, quantize.py:426-428 —
+    clamping preserves exact shapes for the scan)."""
+    out = {k: v for k, v in params.items() if k != "layers"}
+    layers = {}
+    for name, stack in params["layers"].items():
+        if name in _QUANT_KEYS:
+            K = stack.shape[-2]
+            g = group
+            while K % g:
+                g //= 2
+            qs, ss, zs = [], [], []
+            for l in range(stack.shape[0]):
+                wq = quantize_int4(stack[l], group=g)
+                qs.append(wq.q)
+                ss.append(wq.scale)
+                zs.append(wq.zero)
+            layers[name] = {"q": jnp.stack(qs), "scale": jnp.stack(ss),
+                            "zero": jnp.stack(zs)}
+        else:
+            layers[name] = stack
+    out["layers"] = layers
+    return out
+
+
 def param_is_quantized(leaf) -> bool:
     return isinstance(leaf, dict) and "q" in leaf and "scale" in leaf
 

@@ -27,11 +27,20 @@ def sparsify(x, threshold):
 def sparsify_groups(x, group_size: int, keep_frac: float,
                     threshold=None):
     """Group-granular sparsification (the accuracy twin of the block
-    decode kernel): per position, keep the top `keep_frac` of
-    `group_size`-channel groups by max-|x| score, zero the rest.
+    decode kernel), implementing THE unified selection rule (see
+    docs/KERNEL_NOTES.md "Selection semantics"):
 
-    Used to measure the ppl cost of the TPU-structured sparsity mode with
-    the exact same selection rule the fast kernel applies.
+      - threshold mode (`threshold` given): keep groups whose max-|x|
+        score is > threshold, scanned in ascending group-index order;
+        the first `cap` survivors win, later survivors are dropped
+        (capacity overflow). Exactly the fused kernel's scalar-core scan
+        (`block_gemv._fused_select_gather_kernel`).
+      - top-k mode (`threshold=None`): keep the top `cap` groups by
+        score. Exactly `block_gemv.select_groups`.
+
+    where cap = max(1, round(nb * keep_frac)). Used to measure the ppl
+    cost of the TPU-structured sparsity mode with the exact selection
+    rule the fast kernel applies.
     """
     *lead, d = x.shape
     nb = d // group_size
@@ -41,9 +50,9 @@ def sparsify_groups(x, group_size: int, keep_frac: float,
     xg = x.reshape(*lead, nb, group_size)
     scores = jnp.max(jnp.abs(xg), axis=-1)              # [..., nb]
     if threshold is not None:
-        # calibrated group-threshold rule (capacity-capped like the kernel)
-        kth = jax.lax.top_k(scores, k)[0][..., -1:]
-        mask = (scores >= kth) & (scores > threshold)
+        surv = scores > threshold
+        # capacity cap in index order: survivor rank = cumsum - 1
+        mask = surv & (jnp.cumsum(surv, axis=-1) <= k)
     else:
         kth = jax.lax.top_k(scores, k)[0][..., -1:]
         mask = scores >= kth
@@ -61,9 +70,15 @@ def apply_sparsity(x, threshold, cfg: SparsityConfig):
         return x
 
     if cfg.mode == "group":
+        # same runtime-effective group size as the block kernel (deep
+        # input dims double the group size; docs/KERNEL_NOTES.md)
+        from teal_tpu.ops.block_gemv import effective_block_size
+
+        G = effective_block_size(cfg.block_size, x.shape[-1])
+
         def rule(v):
             return sparsify_groups(
-                v, cfg.block_size, cfg.block_keep_frac,
+                v, G, cfg.block_keep_frac,
                 threshold=threshold if cfg.block_thresholding else None,
             )
     else:

@@ -222,3 +222,84 @@ def test_group_threshold_calibration(calib):
     ppl = eval_ppl(params, cfg, ids, sp=sp, thresholds=jnp.asarray(th),
                    context_size=64, window_size=32)
     assert np.isfinite(ppl)
+
+
+def _write_greedy_lookup(root, rows_per_layer):
+    import csv
+
+    for l, rows in enumerate(rows_per_layer):
+        d = os.path.join(root, f"layer-{l}")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "results.csv"), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["Effective Sparsity", "Activation Error",
+                        "Baseline Error", "q", "k", "v", "o", "gate",
+                        "up", "down"])
+            for eff, s in rows:
+                w.writerow([eff, 0.1, 0.2] + list(s))
+
+
+def test_group_thresholds_for_greedy_per_layer(calib, tmp_path):
+    """Per-layer greedy schedules become per-layer group thresholds: a
+    layer with higher scheduled sparsity gets a strictly higher
+    threshold, and the capacity bound covers the largest keep frac."""
+    from teal_tpu.calibration.thresholds import (
+        capacity_fracs_for_greedy,
+        group_thresholds_for_greedy,
+    )
+
+    cfg, params, out = calib
+    # tiny model: effective group sizes at block 16 are all 16
+    out2 = out + "_greedy16"
+    tokens = np.random.default_rng(1).integers(0, cfg.vocab_size, (2, 64))
+    calibrate(params, cfg, tokens, out2, num_bins=512, group_sizes=(16,),
+              save_layer_inputs=False)
+    lookup = os.path.join(out2, "lookup")
+    _write_greedy_lookup(lookup, [
+        [(0.5, [0.3, 0.3, 0.3, 0.5, 0.6, 0.6, 0.5])],
+        [(0.5, [0.7, 0.7, 0.7, 0.5, 0.4, 0.4, 0.5])],
+    ])
+    th = group_thresholds_for_greedy(out2, cfg, 0.5, block_size=16)
+    assert th.shape == (cfg.n_layers, 7)
+    # layer 1 schedules q at 0.7 vs layer 0 at 0.3 -> higher threshold
+    assert th[1, 0] > th[0, 0]
+    # layer 0 schedules gate at 0.6 vs layer 1 at 0.4 -> higher threshold
+    assert th[0, 4] > th[1, 4]
+
+    caps = capacity_fracs_for_greedy(lookup, cfg, 0.5, margin=1.25)
+    assert len(caps) == 7
+    # q keep fracs are (0.7, 0.3) over layers -> bound >= 0.7 (x margin)
+    assert caps[0] == pytest.approx(min(1.0, 0.7 * 1.25))
+
+
+def test_per_layer_thresholds_drive_per_layer_selection():
+    """Threshold mode makes per-layer capacities data: with layer 0 at
+    threshold=inf (drop all) and layer 1 at 0 (keep first cap), decode
+    through the model must match the semantics twin built with the same
+    per-layer thresholds."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from teal_tpu.models.llama import KVCache
+
+    cfg = get_model_config("tiny", dim=256, intermediate_size=512,
+                           n_heads=4, n_kv_heads=2, vocab_size=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    tok = np.array([[3]], dtype=np.int64)
+    th = np.zeros((cfg.n_layers, 7), np.float32)
+    th[0, :] = 1e9   # layer 0: no survivors -> zero contribution
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=16,
+                        block_keep_frac=0.5, block_thresholding=True)
+    cache = KVCache.init(cfg, 1, 8, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got, _ = llama.forward(params, jnp.asarray(tok, jnp.int32), cache,
+                               0, jnp.asarray(th), cfg=cfg, sp=sp)
+    # twin: masked-dense with mode="group" + thresholding uses the same
+    # unified rule per layer
+    sp_twin = SparsityConfig(enabled=True, kernel="masked_dense",
+                             mode="group", block_size=16,
+                             block_keep_frac=0.5, block_thresholding=True)
+    cache = KVCache.init(cfg, 1, 8, jnp.float32)
+    want, _ = llama.forward(params, jnp.asarray(tok, jnp.int32), cache, 0,
+                            jnp.asarray(th), cfg=cfg, sp=sp_twin)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-3)

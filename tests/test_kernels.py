@@ -313,3 +313,51 @@ def test_batched_model_block_decode():
     got2, _ = llama.forward(params, toks, cache, 0, th, cfg=cfg, sp=sp2)
     assert np.isfinite(np.asarray(got2)).all()
     assert not np.allclose(np.asarray(got2), np.asarray(dense))
+
+
+def test_unified_threshold_semantics_overflow_regime():
+    """THE selection rule (docs/KERNEL_NOTES.md "Selection semantics"):
+    threshold mode = survivors in ascending index order, first cap kept.
+    All four implementations must agree bit-wise on the kept set, across
+    under-, exactly-, and over-subscribed capacities."""
+    from teal_tpu.ops.sparsify import sparsify_groups
+
+    key = jax.random.PRNGKey(11)
+    G, K, N = 16, 256, 128
+    nb = K // G
+    for trial in range(4):
+        key, kx, kw = jax.random.split(key, 3)
+        x = jax.random.normal(kx, (1, K), jnp.float32)
+        w = jax.random.normal(kw, (K, N), jnp.float32)
+        s = np.asarray(block_gemv.group_scores(x, G))
+        for q in (0.1, 0.5, 0.9):   # survivor fraction ~ (1 - q)
+            thr = float(np.quantile(s, q))
+            for keep in (0.25, 0.5, 0.75, 1.0):
+                cap = max(1, min(nb, int(round(nb * keep))))
+                # ground truth: first `cap` survivors by index
+                surv = [i for i in range(nb) if s[i] > thr]
+                kept = set(surv[:cap])
+                mask = np.repeat(
+                    np.array([i in kept for i in range(nb)]), G
+                )
+                xm = np.where(mask[None, :], np.asarray(x), 0.0)
+                want = xm @ np.asarray(w)
+
+                t = jnp.float32(thr)
+                # 1. select_groups + gather kernel
+                y1 = block_gemv.block_sparse_matmul(
+                    x, w, t, block_size=G, keep_frac=keep)
+                # 2. pure-jnp twin
+                y2 = block_gemv.block_sparse_matmul_reference(
+                    x, w, t, block_size=G, keep_frac=keep)
+                # 3. sparsify_groups (accuracy path)
+                y3 = jnp.matmul(sparsify_groups(x, G, keep, threshold=t), w)
+                # 4. fused in-kernel selection
+                (y4,) = block_gemv.project_many(
+                    x[:, None, :], [w], G, keep, threshold=t)
+                for i, y in enumerate((y1, y2, y3, y4)):
+                    np.testing.assert_allclose(
+                        np.asarray(y).reshape(1, N), want,
+                        rtol=1e-5, atol=1e-4,
+                        err_msg=f"impl {i+1} trial={trial} q={q} keep={keep}",
+                    )
