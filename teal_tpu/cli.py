@@ -40,6 +40,19 @@ def _load_model(args, dtype=None):
 
         if os.path.exists(os.path.join(args.checkpoint, "meta.json")):
             params = checkpoint.load_params(args.checkpoint)
+            # int4 checkpoints ({"q","scale","zero"} leaves) repack to the
+            # kernel layout when the block decode kernel will run, so the
+            # gather reads packed nibbles (half the bytes of the stored
+            # int8-per-nibble form)
+            layers = params.get("layers", {})
+            has_int4 = any(isinstance(v, dict) and "zero" in v
+                           for v in layers.values())
+            if has_int4 and getattr(args, "kernel", None) == "block":
+                from teal_tpu.ops.quant import pack_int4_params
+
+                params = pack_int4_params(
+                    params, getattr(args, "block_size", 32) or 32
+                )
         else:
             params = checkpoint.load_hf_checkpoint(args.checkpoint, cfg, dtype)
     elif args.random_init:
@@ -124,10 +137,12 @@ def _warn_dropped_thresholds(args):
 
 
 def cmd_generate(args):
+    import jax
     import numpy as np
 
     from teal_tpu.config import SparsityConfig
     from teal_tpu.engine import Generator
+    from teal_tpu.utils import profiling
     from teal_tpu.utils.tokenizer import get_tokenizer
 
     cfg, params = _load_model(args)
@@ -142,26 +157,117 @@ def cmd_generate(args):
                         block_keep_fracs=keep_fracs,
                         block_thresholding=args.group_thresholds)
     thresholds = _thresholds(args, cfg)
+
+    if args.speculate_k > 0:
+        return _generate_speculative(args, cfg, params, tok, sp, thresholds)
+
     gen = Generator(cfg, params, sp=sp, max_seq=args.max_seq,
                     temperature=args.temperature, top_k=args.top_k)
 
+    def run_samples(prompt: str):
+        ids = tok.encode(prompt, bos=True)
+        if args.num_samples > 1 or args.profile:
+            gen.warmup(prompt_len=len(ids))
+        for i in range(args.num_samples):
+            # profile only the last sample (reference generate.py:460-485)
+            profiling_last = args.profile and i == args.num_samples - 1
+            with profiling.trace(args.profile if profiling_last else None):
+                out, stats = gen.generate(
+                    np.asarray(ids), args.max_new_tokens,
+                    thresholds=thresholds,
+                    key=jax.random.PRNGKey(args.seed + i),
+                )
+            text = tok.decode(out[0][len(ids):])
+            print(text)
+            print(
+                f"[{stats.new_tokens} tokens, {stats.tokens_per_s:.2f} tok/s, "
+                f"{stats.bandwidth_gb_s:.1f} GB/s, prefill {stats.prefill_s*1e3:.0f} ms]",
+                file=sys.stderr,
+            )
+            if args.metrics:
+                profiling.write_metrics(args.metrics, {
+                    "model": args.model,
+                    "sparsity": args.sparsity,
+                    "kernel": args.kernel,
+                    "sample": i,
+                    "new_tokens": stats.new_tokens,
+                    "tokens_per_s": stats.tokens_per_s,
+                    "bandwidth_gb_s": stats.bandwidth_gb_s,
+                    "prefill_s": stats.prefill_s,
+                    **profiling.device_memory_stats(),
+                })
+
+    if args.interactive:
+        # reference --interactive chat loop (generate.py:168-169,381-383)
+        while True:
+            try:
+                prompt = input("prompt> ")
+            except EOFError:
+                break
+            if prompt.strip() in ("quit", "exit"):
+                break
+            run_samples(prompt)
+    else:
+        run_samples(args.prompt)
+
+
+def _generate_speculative(args, cfg, params, tok, sp, thresholds):
+    """--speculate-k path: draft proposes, target verifies (reference
+    generate.py:98-146,528-558 CLI surface)."""
+    import jax
+    import numpy as np
+
+    from teal_tpu.config import SparsityConfig, get_model_config
+    from teal_tpu.engine.speculative import speculative_generate
+    from teal_tpu.utils import profiling
+
+    if not (args.draft_checkpoint or args.draft_model):
+        raise SystemExit("--speculate-k needs --draft-checkpoint or "
+                         "--draft-model (with --random-init)")
+
+    class _DraftArgs:
+        model = args.draft_model or args.model
+        checkpoint = args.draft_checkpoint
+        random_init = args.random_init and not args.draft_checkpoint
+        seed = args.seed + 99
+        fp32 = args.fp32
+        n_layers = None
+        kernel = args.kernel
+        block_size = args.block_size
+
+    draft_cfg, draft_params = _load_model(_DraftArgs)
+    draft_sp = SparsityConfig(
+        enabled=args.draft_sparsity > 0, kernel=args.kernel,
+        block_size=args.block_size,
+        block_keep_frac=1.0 - args.draft_sparsity,
+    )
     ids = tok.encode(args.prompt, bos=True)
-    if args.num_samples > 1:
-        gen.warmup(prompt_len=len(ids))
     for i in range(args.num_samples):
         t0 = time.time()
-        out, stats = gen.generate(
-            np.asarray(ids), args.max_new_tokens,
-            thresholds=thresholds,
-            key=__import__("jax").random.PRNGKey(args.seed + i),
+        out, stats = speculative_generate(
+            params, draft_params, cfg, draft_cfg, np.asarray(ids),
+            args.max_new_tokens, speculate_k=args.speculate_k,
+            temperature=args.temperature, top_k=args.top_k,
+            max_seq=args.max_seq, target_sp=sp, draft_sp=draft_sp,
+            target_thresholds=__import__("jax").numpy.asarray(thresholds),
+            key=jax.random.PRNGKey(args.seed + i),
         )
-        text = tok.decode(out[0][len(ids):])
-        print(text)
+        dt = time.time() - t0
+        print(tok.decode(out[len(ids):]))
+        tps = stats["new_tokens"] / dt if dt > 0 else 0.0
         print(
-            f"[{stats.new_tokens} tokens, {stats.tokens_per_s:.2f} tok/s, "
-            f"{stats.bandwidth_gb_s:.1f} GB/s, prefill {stats.prefill_s*1e3:.0f} ms]",
+            f"[speculative k={args.speculate_k}: {stats['new_tokens']} "
+            f"tokens, {tps:.2f} tok/s (incl. compile on sample 0), "
+            f"mean accepted {stats['mean_accepted']:.2f}]",
             file=sys.stderr,
         )
+        if args.metrics:
+            profiling.write_metrics(args.metrics, {
+                "model": args.model, "speculate_k": args.speculate_k,
+                "sample": i, "new_tokens": stats["new_tokens"],
+                "tokens_per_s": tps,
+                "mean_accepted": stats["mean_accepted"],
+            })
 
 
 def cmd_calibrate(args):
@@ -259,6 +365,71 @@ def cmd_ppl(args):
               f"{sparse:.4f} (delta {sparse - dense:+.4f})")
 
 
+def cmd_eval(args):
+    """Run lm-eval tasks against a dense or sparse model configuration
+    (reference `gpt-fast/eval.py:154-254`). With the real `lm_eval`
+    installed, `--tasks` are harness task names; otherwise tasks come
+    from `--task-file` JSON ({"name", "type": "multiple_choice"|
+    "generate", "docs": [...]}) run through the vendored shim evaluator."""
+    from teal_tpu.config import SparsityConfig
+    from teal_tpu.eval.harness import ScoreModel, make_lm_eval_model
+    from teal_tpu.utils.tokenizer import get_tokenizer
+
+    cfg, params = _load_model(args)
+    tok = get_tokenizer(args.tokenizer or args.checkpoint)
+    sp = SparsityConfig()
+    th = None
+    if args.sparsity > 0:
+        _warn_dropped_thresholds(args)
+        keep_fracs, keep_frac = _keep_fracs(args, cfg)
+        sp = SparsityConfig(
+            enabled=True, apply_prefill=True, mode=args.mode,
+            block_size=args.block_size,
+            block_keep_frac=(0.625 if keep_frac is None else keep_frac),
+            block_keep_fracs=keep_fracs,
+            block_thresholding=args.group_thresholds,
+        )
+        th = _thresholds(args, cfg)
+    model = ScoreModel(params, cfg, sp=sp, thresholds=th,
+                       max_seq=args.max_seq)
+    lm = make_lm_eval_model(model, tok)
+
+    try:
+        import lm_eval  # type: ignore
+
+        results = lm_eval.simple_evaluate(
+            model=lm, tasks=args.tasks.split(",") if args.tasks else [],
+            limit=args.limit,
+        )["results"]
+    except ImportError:
+        if not args.task_file:
+            raise SystemExit(
+                "lm_eval is not installed; pass --task-file with shim-"
+                "format task JSON"
+            )
+        from teal_tpu.eval.lm_eval_shim import (
+            GenerateTask, MultipleChoiceTask, simple_evaluate,
+        )
+
+        with open(args.task_file) as f:
+            specs = json.load(f)
+        if isinstance(specs, dict):
+            specs = [specs]
+        tasks = []
+        for s in specs:
+            docs = s["docs"][: args.limit] if args.limit else s["docs"]
+            if s.get("type", "multiple_choice") == "generate":
+                tasks.append(GenerateTask(
+                    name=s["name"], docs=docs,
+                    until=tuple(s.get("until", ["\n"])),
+                    max_gen_toks=int(s.get("max_gen_toks", 32)),
+                ))
+            else:
+                tasks.append(MultipleChoiceTask(name=s["name"], docs=docs))
+        results = simple_evaluate(lm, tasks)
+    print(json.dumps(results, indent=2))
+
+
 def cmd_quantize(args):
     """Write a quantized native checkpoint (the analog of the reference's
     `quantize.py:528-605` writing model_int8.pth / model_int4.g{G}.pth);
@@ -349,6 +520,17 @@ def main(argv=None):
     g.add_argument("--group-thresholds", action="store_true",
                    help="use calibrated group-score thresholds (block "
                         "kernel threshold mode; needs group histograms)")
+    g.add_argument("--speculate-k", type=int, default=0,
+                   help="speculative decoding: draft tokens per step")
+    g.add_argument("--draft-checkpoint", default=None)
+    g.add_argument("--draft-model", default=None,
+                   help="draft architecture name (default: --model)")
+    g.add_argument("--draft-sparsity", type=float, default=0.0)
+    g.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the last sample")
+    g.add_argument("--metrics", default=None, metavar="FILE",
+                   help="append JSONL run metrics")
+    g.add_argument("--interactive", action="store_true")
     g.set_defaults(fn=cmd_generate)
 
     c = sub.add_parser("calibrate")
@@ -403,6 +585,23 @@ def main(argv=None):
                         "the weights before evaluating (improves group-"
                         "mode accuracy; exact re-parameterization)")
     p.set_defaults(fn=cmd_ppl)
+
+    e = sub.add_parser("eval")
+    _common(e)
+    e.add_argument("--tasks", default=None,
+                   help="comma-separated lm_eval task names (needs the "
+                        "real lm_eval installed)")
+    e.add_argument("--task-file", default=None,
+                   help="JSON task file for the vendored shim evaluator")
+    e.add_argument("--limit", type=int, default=None)
+    e.add_argument("--max-seq", type=int, default=2048)
+    e.add_argument("--sparsity", type=float, default=0.0)
+    e.add_argument("--hist-path", default=None)
+    e.add_argument("--greedy", action="store_true")
+    e.add_argument("--mode", default="teal", choices=["teal", "group"])
+    e.add_argument("--block-size", type=int, default=32)
+    e.add_argument("--group-thresholds", action="store_true")
+    e.set_defaults(fn=cmd_eval)
 
     q = sub.add_parser("quantize")
     _common(q)

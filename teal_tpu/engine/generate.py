@@ -67,11 +67,19 @@ class Generator:
         self.cache_dtype = cache_dtype
         self.temperature = temperature
         self.top_k = top_k
-        wq = params["layers"]["wq"]
-        proj_bytes = 1 if isinstance(wq, dict) else jnp.dtype(wq.dtype).itemsize
+        def leaf_bytes(w):
+            if isinstance(w, dict):
+                return sum(a.size * a.dtype.itemsize for a in w.values())
+            return w.size * w.dtype.itemsize
+
+        # actual projection bytes (handles bf16/int8/packed-int4 leaves);
+        # reference protocol excludes embeddings (generate.py:336-346)
         self.model_bytes = sum(
-            cfg.proj_params(p) for p in ("q", "k", "v", "o", "gate", "up", "down")
-        ) * cfg.n_layers * proj_bytes
+            leaf_bytes(params["layers"][n])
+            for n in ("wq", "wk", "wv", "wo", "wgate", "wup", "wdown",
+                      "router")
+            if n in params["layers"]
+        )
 
         fwd = functools.partial(llama.forward, cfg=cfg, sp=sp)
         dense_sp = sp.replace(enabled=False)

@@ -2,10 +2,10 @@
 `gpt-fast/eval.py:85-151`).
 
 Wraps the teal_tpu model as an `lm_eval` model so downstream tasks
-(hellaswag etc.) run against dense or sparse configurations. `lm_eval` is
-an optional dependency; when absent, `loglikelihood_rolling`/`score_choices`
-still work standalone (they only need the model), so basic multiple-choice
-accuracy can be computed without the harness.
+(hellaswag etc.) run against dense or sparse configurations. The real
+`lm_eval` package is preferred when installed; otherwise the vendored
+API shim (`teal_tpu.eval.lm_eval_shim`) provides the same LM interface
+and a small evaluator, so tasks run end-to-end either way.
 """
 
 from __future__ import annotations
@@ -36,8 +36,12 @@ class ScoreModel:
         self.max_seq = max_seq
         self._logp = None
 
-    def _token_logprobs(self, ids: np.ndarray) -> np.ndarray:
-        """log P(ids[i] | ids[:i]) for i >= 1. ids: [T]."""
+    def _token_logprobs(self, ids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """(log P(ids[i] | ids[:i]), argmax token at each position) for
+        i >= 1. ids: [T]. The argmax ids feed the `is_greedy` flag
+        (continuation == greedy decode), computed from the same logits
+        rather than re-running generation (reference compares against
+        greedy continuations the same way through lm_eval's HFLM)."""
         import functools
 
         if self._logp is None:
@@ -50,14 +54,14 @@ class ScoreModel:
                     params, tokens, cache, 0, thresholds,
                     cfg=self.cfg, sp=self.sp,
                 )
-                logp = jax.nn.log_softmax(
-                    logits[:, :-1].astype(jnp.float32), axis=-1
-                )
+                logits = logits[:, :-1].astype(jnp.float32)
+                logp = jax.nn.log_softmax(logits, axis=-1)
                 lp = jnp.take_along_axis(
                     logp, tokens[:, 1:, None], axis=-1
                 )[0, :, 0]
+                greedy = jnp.argmax(logits, axis=-1)[0]
                 pos = jnp.arange(1, t)
-                return jnp.where(pos < n_valid, lp, 0.0)
+                return jnp.where(pos < n_valid, lp, 0.0), greedy
 
             self._logp = f
 
@@ -69,18 +73,26 @@ class ScoreModel:
             t = pad
         padded = np.zeros(pad, np.int64)
         padded[:t] = ids
-        lp = self._logp(self.params, jnp.asarray(padded[None], jnp.int32),
-                        jnp.asarray(t), self.thresholds)
-        return np.asarray(lp)[: t - 1]
+        lp, greedy = self._logp(
+            self.params, jnp.asarray(padded[None], jnp.int32),
+            jnp.asarray(t), self.thresholds,
+        )
+        return np.asarray(lp)[: t - 1], np.asarray(greedy)[: t - 1]
 
     def loglikelihood(self, context_ids: Sequence[int],
                       continuation_ids: Sequence[int]) -> Tuple[float, bool]:
-        """(sum logprob of continuation, is_greedy)."""
+        """(sum logprob of continuation, is_greedy). is_greedy is true iff
+        every continuation token is the argmax prediction at its position
+        (exact greedy-match, per lm_eval semantics — not a probability
+        proxy)."""
         ids = np.asarray(list(context_ids) + list(continuation_ids))
-        lp = self._token_logprobs(ids)
+        lp, greedy = self._token_logprobs(ids)
         n_ctx = len(context_ids)
         cont_lp = lp[n_ctx - 1:]
-        return float(cont_lp.sum()), bool(np.all(cont_lp > np.log(0.5)))
+        cont_pred = greedy[n_ctx - 1:]
+        cont_true = ids[n_ctx:]
+        is_greedy = bool(np.all(cont_pred == cont_true))
+        return float(cont_lp.sum()), is_greedy
 
     def score_choices(self, context_ids: Sequence[int],
                       choices: Sequence[Sequence[int]]) -> int:
@@ -89,15 +101,34 @@ class ScoreModel:
         return int(np.argmax(scores))
 
 
-def make_lm_eval_model(score_model: ScoreModel, tokenizer):
-    """Build an lm_eval.api.model.LM if lm_eval is installed."""
+def _lm_base():
+    """The LM base class: real lm_eval when installed, vendored shim
+    otherwise (identical calling convention)."""
     try:
-        from lm_eval.api.model import LM
-    except ImportError as e:  # pragma: no cover - optional dependency
-        raise ImportError(
-            "lm_eval is not installed; use ScoreModel directly or install "
-            "the 'eval' extra"
-        ) from e
+        from lm_eval.api.model import LM  # type: ignore
+        return LM, True
+    except ImportError:
+        from teal_tpu.eval.lm_eval_shim import LM
+        return LM, False
+
+
+def make_lm_eval_model(score_model: ScoreModel, tokenizer, *,
+                       generator=None, max_gen_toks: int = 64):
+    """Build an lm_eval-compatible LM over a ScoreModel (+ optional
+    `teal_tpu.engine.Generator` for generate_until; one is built lazily
+    with greedy sampling when omitted)."""
+    LM, _is_real = _lm_base()
+
+    def get_generator():
+        nonlocal generator
+        if generator is None:
+            from teal_tpu.engine import Generator
+
+            generator = Generator(
+                score_model.cfg, score_model.params, sp=score_model.sp,
+                max_seq=score_model.max_seq, temperature=0.0, top_k=None,
+            )
+        return generator
 
     class TealTPULM(LM):
         def loglikelihood(self, requests):
@@ -114,13 +145,28 @@ def make_lm_eval_model(score_model: ScoreModel, tokenizer):
             for req in requests:
                 (text,) = req.args
                 ids = tokenizer.encode(text, bos=True)
-                lp = score_model._token_logprobs(np.asarray(ids))
+                lp, _ = score_model._token_logprobs(np.asarray(ids))
                 out.append(float(lp.sum()))
             return out
 
-        def generate_until(self, requests):  # pragma: no cover
-            raise NotImplementedError(
-                "use teal_tpu.engine.Generator for generation tasks"
-            )
+        def generate_until(self, requests):
+            gen = get_generator()
+            out = []
+            for req in requests:
+                ctx, kwargs = req.args
+                until = kwargs.get("until", [])
+                max_toks = int(kwargs.get("max_gen_toks", max_gen_toks))
+                ids = tokenizer.encode(ctx, bos=True)
+                tokens, _ = gen.generate(
+                    np.asarray(ids), max_toks,
+                    thresholds=score_model.thresholds,
+                )
+                text = tokenizer.decode(tokens[0][len(ids):])
+                for stop in until:
+                    pos = text.find(stop)
+                    if pos >= 0:
+                        text = text[:pos]
+                out.append(text)
+            return out
 
     return TealTPULM()

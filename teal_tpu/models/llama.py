@@ -97,9 +97,17 @@ def _proj(x, w, thresh, sp: SparsityConfig, *, proj: str):
     `w` may be a raw array or an int8 weight-only dict {"q", "scale"}.
     """
     quantized = isinstance(w, dict)
-    is_int4 = quantized and "zero" in w
+    is_int4 = quantized and "zero" in w          # unpacked {"q","scale","zero"}
+    is_int4_packed = quantized and "qp" in w     # kernel layout {"qp","sz"}
     if sp.enabled and x.shape[-2] == 1 and sp.kernel != "masked_dense":
-        if quantized and not is_int4 and sp.kernel == "block":
+        if is_int4_packed and sp.kernel == "block":
+            from teal_tpu.ops import quant
+            return quant.int4_block_sparse_matmul(
+                x, w, sp.block_size, sp.block_keep_frac,
+                threshold=thresh if sp.block_thresholding else None,
+            )
+        if quantized and not is_int4 and not is_int4_packed \
+                and sp.kernel == "block":
             from teal_tpu.ops import quant
             return quant.int8_block_sparse_matmul(
                 x, quant.Int8Weight(w["q"], w["scale"]),
@@ -108,6 +116,9 @@ def _proj(x, w, thresh, sp: SparsityConfig, *, proj: str):
         if not quantized:
             return sparse_gemv.sparse_matmul(x, w, thresh, sp)
     xs = apply_sparsity(x, thresh, sp)
+    if is_int4_packed:
+        from teal_tpu.ops import quant
+        return quant.int4_packed_matmul(xs, w)
     if is_int4:
         from teal_tpu.ops import quant
         return quant.int4_dict_matmul(xs, w)
@@ -182,6 +193,8 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
         if stacked is None:
             return lp[name]
         w = stacked[name]
+        if isinstance(w, dict) and "qp" in w:
+            return {"qp": w["qp"], "sz": w["sz"]}   # kernel handles layer
         if isinstance(w, dict):
             return {"q": w["q"], "scale": lp[name]["scale"]}
         return w

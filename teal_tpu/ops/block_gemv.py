@@ -70,48 +70,179 @@ def effective_block_size(G: int, K: int) -> int:
     return g
 
 
-def _manual_gather_kernel(idx_ref, layer_ref, x_ref, *refs, G: int, Ns,
-                          k_keep: int, depth: int, dtypes):
+class _WeightPlan:
+    """Describes how the gather kernels handle one weight operand.
+
+    kind "array": plain bf16/fp32/int8 [K, N] (or layer-stacked
+    [L, K, N]); one DMA of a [G, N] slab per kept group, one MXU dot.
+
+    kind "int4": dict {"qp", "sz"} — 4-bit weights nibble-packed along
+    the input dim (`pack_int4`, two rows per byte: rows [gG, gG+G/2) in
+    the low nibbles, [gG+G/2, gG+G) in the high nibbles of packed rows
+    [gG/2, (g+1)G/2)), plus per-(group, out-channel) affine params
+    sz[g] = [scale_g, zero_g] stacked [nb, 2, N]. Two DMAs per kept
+    group (packed slab [G/2, N] int8 + sz row [2, N]); dequant is
+    FACTORED through the dot — since scale/zero are constant within a
+    group's K-rows,
+        x @ (nib*scale + zero) = (x @ nib) * scale + sum(x) * zero
+    so the MXU multiplies raw nibbles and the affine lands as one VPU
+    fma on the [8, N] dot result (no dequantized slab materialized).
+    Requires G/2 >= 32 (the int8 sublane tile): int4 sparse mode runs
+    at G >= 64 with quantization group == gather group.
+    """
+
+    def __init__(self, w):
+        if isinstance(w, dict) and "qp" in w:
+            self.kind = "int4"
+            self.arrays = (w["qp"], w["sz"])
+            self.N = int(w["qp"].shape[-1])
+            self.stacked = w["qp"].ndim == 3
+        else:
+            self.kind = "array"
+            self.arrays = (w,)
+            self.N = int(w.shape[-1])
+            self.stacked = w.ndim == 3
+        self.n_dma = len(self.arrays)
+
+    def buf_shapes(self, G: int, depth: int):
+        if self.kind == "int4":
+            qp, sz = self.arrays
+            return [((depth, G // 2, self.N), qp.dtype),
+                    ((depth, 2, self.N), sz.dtype)]
+        return [((depth, G, self.N), self.arrays[0].dtype)]
+
+    def key(self, G: int):
+        """Hashable cache key component for jit specialization."""
+        return (self.kind, self.N, self.stacked,
+                tuple(str(a.dtype) for a in self.arrays))
+
+
+def _plan_weights(ws):
+    return [_WeightPlan(w) for w in ws]
+
+
+def _dma_copies(plan, w_refs, bufs, sems, layer_ref, slot, gidx, G: int):
+    """The gather copy descriptors for group index value `gidx` of one
+    weight (started at issue time, re-built identically at wait time).
+
+    w_refs/bufs: this weight's refs/slot buffers; sems: [depth, n_dma].
+    Slab starts are multiples of G (>= the dtype's sublane tile), so
+    every slab is whole contiguous tile-rows in HBM. 3D weights are
+    layer-stacked [L, ...]: the scalar-prefetched layer index joins the
+    gather, so scan-over-layers models never slice big weights outside
+    the kernel (an XLA dynamic-slice feeding a custom call would
+    materialize a full copy of the layer's weights every decode step).
+    """
+    if plan.kind == "int4":
+        qp_ref, sz_ref = w_refs
+        start_row = pl.multiple_of(gidx * (G // 2), G // 2)
+        if plan.stacked:
+            src_qp = qp_ref.at[layer_ref[0], pl.ds(start_row, G // 2), :]
+            src_sz = sz_ref.at[layer_ref[0], gidx]
+        else:
+            src_qp = qp_ref.at[pl.ds(start_row, G // 2), :]
+            src_sz = sz_ref.at[gidx]
+        return [
+            pltpu.make_async_copy(src_qp, bufs[0].at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(src_sz, bufs[1].at[slot], sems.at[slot, 1]),
+        ]
+    start_row = pl.multiple_of(gidx * G, G)
+    if plan.stacked:
+        src = w_refs[0].at[layer_ref[0], pl.ds(start_row, G), :]
+    else:
+        src = w_refs[0].at[pl.ds(start_row, G), :]
+    return [pltpu.make_async_copy(src, bufs[0].at[slot], sems.at[slot, 0])]
+
+
+def _start_dmas(plan, w_refs, bufs, sems, layer_ref, slot, gidx, G: int):
+    for cp in _dma_copies(plan, w_refs, bufs, sems, layer_ref, slot, gidx, G):
+        cp.start()
+
+
+def _accumulate(plan, w_refs, bufs, sems, layer_ref, slot, gidx, xi, acc,
+                col0: int, G: int):
+    """Wait for one weight's slot DMAs and accumulate its contribution
+    into acc[:, col0:col0+N]."""
+    N = plan.N
+    for cp in _dma_copies(plan, w_refs, bufs, sems, layer_ref, slot, gidx, G):
+        cp.wait()
+    if plan.kind == "int4":
+        pi = bufs[0][slot].astype(jnp.int32)          # [G/2, N]
+        lo = (pi & 15).astype(jnp.bfloat16)
+        hi = ((pi >> 4) & 15).astype(jnp.bfloat16)
+        nib = jnp.concatenate([lo, hi], axis=0)       # [G, N]
+        dot_res = jax.lax.dot_general(
+            xi, nib, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sz = bufs[1][slot].astype(jnp.float32)        # [2, N]
+        sumx = jnp.sum(xi.astype(jnp.float32), axis=1, keepdims=True)
+        acc[:, col0:col0 + N] += dot_res * sz[0][None, :] \
+            + sumx * sz[1][None, :]
+    else:
+        wb = bufs[0][slot]
+        if wb.dtype != jnp.bfloat16 and wb.dtype != jnp.float32:
+            wb = wb.astype(jnp.bfloat16)
+        acc[:, col0:col0 + N] += jax.lax.dot_general(
+            xi, wb, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+def _scoped_buffers(plans, G: int, depth: int, n_out: int):
+    """VMEM slot buffers + DMA semaphores + accumulator for run_scoped.
+    Returns (scope_args, unpack) where unpack(scoped) ->
+    (per-weight bufs list, per-weight sems list, acc)."""
+    args = []
+    counts = []
+    for p in plans:
+        shapes = p.buf_shapes(G, depth)
+        counts.append(len(shapes))
+        for shape, dt in shapes:
+            args.append(pltpu.VMEM(shape, dt))
+    for p in plans:
+        args.append(pltpu.SemaphoreType.DMA((depth, p.n_dma)))
+    args.append(pltpu.VMEM((SUBLANES, n_out), jnp.float32))
+
+    def unpack(scoped):
+        bufs, k = [], 0
+        for c in counts:
+            bufs.append(scoped[k:k + c])
+            k += c
+        sems = scoped[k:k + len(plans)]
+        acc = scoped[k + len(plans)]
+        return bufs, sems, acc
+
+    return args, unpack
+
+
+def _manual_gather_kernel(idx_ref, layer_ref, x_ref, *refs, G: int, plans,
+                          k_keep: int, depth: int):
     """Triple-buffered explicit-DMA gather over kept groups.
 
-    For each kept group j, one DMA per weight copies its contiguous
-    [G, N_w] slab into the slot buffer's column range; one MXU dot per
-    weight accumulates into the fp32 VMEM accumulator. Explicit `depth`-
-    deep buffering keeps `depth-1` group-gathers in flight — measured
-    ~8% faster than the Pallas grid pipeline at these shapes (93% of HBM
-    peak; experiments/block_tune.py)."""
-    n_w = len(Ns)
-    w_refs = refs[:n_w]
-    o_ref = refs[n_w]
+    For each kept group j, one DMA set per weight copies its contiguous
+    slab(s) into the slot buffers; one MXU dot per weight accumulates
+    into the fp32 VMEM accumulator. Explicit `depth`-deep buffering
+    keeps `depth-1` group-gathers in flight — measured ~8% faster than
+    the Pallas grid pipeline at these shapes (93% of HBM peak;
+    experiments/block_tune.py)."""
+    n_refs = sum(p.n_dma for p in plans)
+    w_ref_groups, k = [], 0
+    for p in plans:
+        w_ref_groups.append(refs[k:k + p.n_dma])
+        k += p.n_dma
+    o_ref = refs[k]
     offs = [0]
-    for N in Ns:
-        offs.append(offs[-1] + N)
+    for p in plans:
+        offs.append(offs[-1] + p.N)
 
     def body(*scoped):
-        bufs = scoped[:n_w]
-        sems = scoped[n_w]
-        acc = scoped[n_w + 1]
-
-        def src_slab(wi, j):
-            # dynamic G-row slab; start is a multiple of G (>= sublane
-            # tile), so the slab is whole contiguous tile-rows in HBM.
-            # 3D weights are layer-stacked [L, K, N]: the layer index
-            # (scalar-prefetched) joins the gather, so scan-over-layers
-            # models never slice big weights outside the kernel (an XLA
-            # dynamic-slice feeding a custom-call would materialize a
-            # full copy of the layer's weights every decode step).
-            start_row = pl.multiple_of(idx_ref[j] * G, G)
-            if len(w_refs[wi].shape) == 3:
-                return w_refs[wi].at[layer_ref[0], pl.ds(start_row, G), :]
-            return w_refs[wi].at[pl.ds(start_row, G), :]
+        bufs, sems, acc = _unpack(scoped)
 
         def start(slot, j):
-            for wi in range(n_w):
-                pltpu.make_async_copy(
-                    src_slab(wi, j),
-                    bufs[wi].at[slot],
-                    sems.at[slot, wi],
-                ).start()
+            for wi, p in enumerate(plans):
+                _start_dmas(p, w_ref_groups[wi], bufs[wi], sems[wi],
+                            layer_ref, slot, idx_ref[j], G)
 
         for j in range(min(depth - 1, k_keep)):
             start(j, j)
@@ -126,31 +257,17 @@ def _manual_gather_kernel(idx_ref, layer_ref, x_ref, *refs, G: int, Ns,
                 start(jax.lax.rem(j + depth - 1, depth), j + depth - 1)
 
             xi = x_ref[j][:, :G]
-            for wi in range(n_w):
-                pltpu.make_async_copy(
-                    src_slab(wi, j),
-                    bufs[wi].at[slot],
-                    sems.at[slot, wi],
-                ).wait()
-                wb = bufs[wi][slot]
-                if wb.dtype != jnp.bfloat16 and wb.dtype != jnp.float32:
-                    wb = wb.astype(jnp.bfloat16)
-                acc[:, offs[wi]:offs[wi + 1]] += jax.lax.dot_general(
-                    xi, wb,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+            for wi, p in enumerate(plans):
+                _accumulate(p, w_ref_groups[wi], bufs[wi], sems[wi],
+                            layer_ref, slot, idx_ref[j], xi, acc,
+                            offs[wi], G)
             return ()
 
         jax.lax.fori_loop(0, k_keep, loop, ())
         o_ref[...] = acc[...]
 
-    pl.run_scoped(
-        body,
-        *[pltpu.VMEM((depth, G, N), dt) for N, dt in zip(Ns, dtypes)],
-        pltpu.SemaphoreType.DMA((depth, n_w)),
-        pltpu.VMEM((SUBLANES, offs[-1]), jnp.float32),
-    )
+    scope_args, _unpack = _scoped_buffers(plans, G, depth, offs[-1])
+    pl.run_scoped(body, *scope_args)
 
 
 @functools.partial(jax.jit, static_argnames=("G", "k_keep", "out_dtype",
@@ -169,23 +286,23 @@ def block_gather_gemv_multi(idx, xpack, ws, *, G: int, k_keep: int,
     models must use (see src_slab note). Returns a list of [1, N_w]
     outputs."""
     ws = tuple(ws)
-    Ns = tuple(int(w.shape[-1]) for w in ws)
-    dtypes = tuple(w.dtype for w in ws)
+    plans = _plan_weights(ws)
+    Ns = tuple(p.N for p in plans)
     n_tot = sum(Ns)
+    flat = [a for p in plans for a in p.arrays]
     if layer is None:
         layer = jnp.zeros((1,), jnp.int32)
     else:
         layer = jnp.asarray(layer, jnp.int32).reshape(1)
 
     kernel = functools.partial(
-        _manual_gather_kernel, G=G, Ns=Ns, k_keep=k_keep, depth=depth,
-        dtypes=dtypes,
+        _manual_gather_kernel, G=G, plans=plans, k_keep=k_keep, depth=depth,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec(memory_space=pl.ANY) for _ in ws],
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in flat],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
@@ -194,11 +311,14 @@ def block_gather_gemv_multi(idx, xpack, ws, *, G: int, k_keep: int,
         out_shape=jax.ShapeDtypeStruct((SUBLANES, n_tot), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * SUBLANES * k_keep * G * n_tot,
-            bytes_accessed=k_keep * G * sum(N * w.dtype.itemsize
-                                            for N, w in zip(Ns, ws)),
+            bytes_accessed=k_keep * sum(
+                (G // 2 if p.kind == "int4" else G) * p.N
+                * p.arrays[0].dtype.itemsize
+                for p in plans
+            ),
             transcendentals=0,
         ),
-    )(idx, layer, xpack, *ws)
+    )(idx, layer, xpack, *flat)
     outs = []
     off = 0
     for N in Ns:
@@ -208,7 +328,7 @@ def block_gather_gemv_multi(idx, xpack, ws, *, G: int, k_keep: int,
 
 
 def _fused_select_gather_kernel(thr_ref, layer_ref, x3_ref, *refs, G: int,
-                                Ns, nb: int, cap: int, depth: int, dtypes):
+                                plans, nb: int, cap: int, depth: int):
     """Selection fused into the gather: group scores are reduced on the
     VPU, DMA'd to SMEM, and a scalar-core scan over the `nb` groups builds
     the kept-index list and issues the weight DMAs — no XLA top-k /
@@ -216,22 +336,22 @@ def _fused_select_gather_kernel(thr_ref, layer_ref, x3_ref, *refs, G: int,
     capacity `cap`; groups beyond capacity are dropped lowest-index-last
     (scores are scanned in order, so the FIRST `cap` survivors win —
     combined with a calibrated threshold the overflow case is rare)."""
-    n_w = len(Ns)
-    w_refs = refs[:n_w]
-    o_ref = refs[n_w]
+    w_ref_groups, k = [], 0
+    for p in plans:
+        w_ref_groups.append(refs[k:k + p.n_dma])
+        k += p.n_dma
+    o_ref = refs[k]
     offs = [0]
-    for N in Ns:
-        offs.append(offs[-1] + N)
+    for p in plans:
+        offs.append(offs[-1] + p.N)
 
     def body(*scoped):
-        bufs = scoped[:n_w]
-        sems = scoped[n_w]
-        acc = scoped[n_w + 1]
-        scores_v = scoped[n_w + 2]      # VMEM (nb, 1) f32
-        scores_s = scoped[n_w + 3]      # SMEM (nb,) f32
-        idx_s = scoped[n_w + 4]         # SMEM (cap,) i32
-        cnt_s = scoped[n_w + 5]         # SMEM (1,) i32
-        ssem = scoped[n_w + 6]          # DMA sem for the scores copy
+        bufs, sems, acc = _unpack(scoped[:-5])
+        scores_v = scoped[-5]           # VMEM (nb, 1) f32
+        scores_s = scoped[-4]           # SMEM (nb,) f32
+        idx_s = scoped[-3]              # SMEM (cap,) i32
+        cnt_s = scoped[-2]              # SMEM (1,) i32
+        ssem = scoped[-1]               # DMA sem for the scores copy
 
         # 1. VPU: group scores (lanes beyond G are zero-padded in x3)
         scores_v[...] = jnp.max(
@@ -269,17 +389,10 @@ def _fused_select_gather_kernel(thr_ref, layer_ref, x3_ref, *refs, G: int,
         jax.lax.fori_loop(0, cap, pad_body, ())
 
         # 4. gather + accumulate (same structure as the prefetch kernel)
-        def src_slab(wi, j):
-            start_row = pl.multiple_of(idx_s[j] * G, G)
-            if len(w_refs[wi].shape) == 3:
-                return w_refs[wi].at[layer_ref[0], pl.ds(start_row, G), :]
-            return w_refs[wi].at[pl.ds(start_row, G), :]
-
         def start(slot, j):
-            for wi in range(n_w):
-                pltpu.make_async_copy(
-                    src_slab(wi, j), bufs[wi].at[slot], sems.at[slot, wi]
-                ).start()
+            for wi, p in enumerate(plans):
+                _start_dmas(p, w_ref_groups[wi], bufs[wi], sems[wi],
+                            layer_ref, slot, idx_s[j], G)
 
         for j in range(min(depth - 1, cap)):
             @pl.when(j < count)
@@ -298,28 +411,19 @@ def _fused_select_gather_kernel(thr_ref, layer_ref, x3_ref, *refs, G: int,
             @pl.when(j < count)
             def _():
                 xi = x3_ref[idx_s[j]][:, :G]
-                for wi in range(n_w):
-                    pltpu.make_async_copy(
-                        src_slab(wi, j), bufs[wi].at[slot], sems.at[slot, wi]
-                    ).wait()
-                    wb = bufs[wi][slot]
-                    if wb.dtype != jnp.bfloat16 and wb.dtype != jnp.float32:
-                        wb = wb.astype(jnp.bfloat16)
-                    acc[:, offs[wi]:offs[wi + 1]] += jax.lax.dot_general(
-                        xi, wb,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
+                for wi, p in enumerate(plans):
+                    _accumulate(p, w_ref_groups[wi], bufs[wi], sems[wi],
+                                layer_ref, slot, idx_s[j], xi, acc,
+                                offs[wi], G)
             return ()
 
         jax.lax.fori_loop(0, cap, loop, ())
         o_ref[...] = acc[...]
 
+    scope_args, _unpack = _scoped_buffers(plans, G, depth, offs[-1])
     pl.run_scoped(
         body,
-        *[pltpu.VMEM((depth, G, N), dt) for N, dt in zip(Ns, dtypes)],
-        pltpu.SemaphoreType.DMA((depth, n_w)),
-        pltpu.VMEM((SUBLANES, offs[-1]), jnp.float32),
+        *scope_args,
         pltpu.VMEM((nb, 1), jnp.float32),
         pltpu.SMEM((nb, 1), jnp.float32),
         pltpu.SMEM((cap,), jnp.int32),
@@ -342,8 +446,9 @@ def fused_select_gather_gemv(x3, thr, ws, *, G: int, cap: int,
     Returns a list of [1, N_w] outputs.
     """
     ws = tuple(ws)
-    Ns = tuple(int(w.shape[-1]) for w in ws)
-    dtypes = tuple(w.dtype for w in ws)
+    plans = _plan_weights(ws)
+    Ns = tuple(p.N for p in plans)
+    flat = [a for p in plans for a in p.arrays]
     nb = x3.shape[0]
     n_tot = sum(Ns)
     if layer is None:
@@ -352,14 +457,14 @@ def fused_select_gather_gemv(x3, thr, ws, *, G: int, cap: int,
         layer = jnp.asarray(layer, jnp.int32).reshape(1)
 
     kernel = functools.partial(
-        _fused_select_gather_kernel, G=G, Ns=Ns, nb=nb, cap=cap,
-        depth=depth, dtypes=dtypes,
+        _fused_select_gather_kernel, G=G, plans=plans, nb=nb, cap=cap,
+        depth=depth,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # thr, layer
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec(memory_space=pl.ANY) for _ in ws],
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in flat],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
@@ -368,11 +473,14 @@ def fused_select_gather_gemv(x3, thr, ws, *, G: int, cap: int,
         out_shape=jax.ShapeDtypeStruct((SUBLANES, n_tot), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * SUBLANES * cap * G * n_tot,
-            bytes_accessed=cap * G * sum(N * w.dtype.itemsize
-                                         for N, w in zip(Ns, ws)),
+            bytes_accessed=cap * sum(
+                (G // 2 if p.kind == "int4" else G) * p.N
+                * p.arrays[0].dtype.itemsize
+                for p in plans
+            ),
             transcendentals=0,
         ),
-    )(jnp.asarray(thr, jnp.float32).reshape(1), layer, x3, *ws)
+    )(jnp.asarray(thr, jnp.float32).reshape(1), layer, x3, *flat)
     outs = []
     off = 0
     for N in Ns:
@@ -454,24 +562,58 @@ def select_groups_batched(x, G: int, k_keep: int):
     return idx.astype(jnp.int32), xpack
 
 
+def _weight_kind(w) -> str:
+    if isinstance(w, dict) and "qp" in w:
+        return "int4"            # packed {"qp","sz"}: dequant in-kernel
+    if isinstance(w, dict):
+        return "int8"            # {"q","scale"}: per-channel post-scale
+    return "array"
+
+
+def _shared_group_size(ws, block_size: int, K: int) -> int:
+    """Gather group size for a projection set: int4 packed slabs need
+    G/2 >= the int8 sublane tile, so any int4 weight raises G to >= 64
+    (quant group == gather group; `quant.int4_gather_group`)."""
+    G = effective_block_size(block_size, K)
+    if any(_weight_kind(w) == "int4" for w in ws):
+        G = max(64, G)
+    return G
+
+
+def _kernel_operands(ws):
+    """(kernel operands, int8 scales-to-apply-after list)."""
+    raw, scales = [], []
+    for w in ws:
+        kind = _weight_kind(w)
+        if kind == "int4":
+            raw.append({"qp": w["qp"], "sz": w["sz"]})
+            scales.append(None)
+        elif kind == "int8":
+            raw.append(w["q"])
+            scales.append(w["scale"])
+        else:
+            raw.append(w)
+            scales.append(None)
+    return raw, scales
+
+
 def project_many_batched(x, ws, block_size: int = 32,
                          keep_frac: Optional[float] = None, layer=None):
     """Batched (B <= 8) block-sparse projections sharing one input batch.
     x: [B, K]; returns list of [B, N_w]."""
     B, K = x.shape
-    G = effective_block_size(block_size, K)
+    G = _shared_group_size(ws, block_size, K)
     nb = K // G
     k_keep = max(1, min(nb, int(round(nb * (keep_frac if keep_frac else 0.625)))))
     idx, xpack = select_groups_batched(x, G, k_keep)
-    quantized = [isinstance(w, dict) for w in ws]
-    raw = [w["q"] if q else w for w, q in zip(ws, quantized)]
+    raw, scales = _kernel_operands(ws)
     ys = block_gather_gemv_multi(idx, xpack, raw, G=G, k_keep=k_keep,
                                  out_dtype=jnp.float32, layer=layer,
                                  out_rows=B)
     outs = []
-    for y, w, q in zip(ys, ws, quantized):
-        if q:
-            y = y * w["scale"][None, :]
+    for y, s in zip(ys, scales):
+        if s is not None:
+            y = y * s[None, :]
         outs.append(y.astype(x.dtype))
     return outs
 
@@ -518,15 +660,15 @@ def project_many(x, ws, block_size: int = 32,
     (`kernels/sparse_gemv.py:147-237`).
 
     Each w may be 2D [K, N], layer-stacked 3D [L, K, N] (pass `layer`),
-    or an int8 dict {"q": 2D/3D, "scale": [N]}."""
+    an int8 dict {"q": 2D/3D, "scale": [N]}, or a packed int4 dict
+    {"qp", "sz"} (dequantized inside the kernel)."""
     K = x.shape[-1]
-    G = effective_block_size(block_size, K)
+    G = _shared_group_size(ws, block_size, K)
     nb = K // G
     k_keep = max(1, min(nb, int(round(nb * (keep_frac if keep_frac else 0.625)))))
     lead = x.shape[:-1]
     xf = x.reshape(1, K)
-    quantized = [isinstance(w, dict) for w in ws]
-    raw = [w["q"] if q else w for w, q in zip(ws, quantized)]
+    raw, scales = _kernel_operands(ws)
     if threshold is not None:
         # calibrated-threshold mode: selection runs on the scalar core
         # inside the kernel (no XLA top-k/sort/gather between launches)
@@ -540,9 +682,9 @@ def project_many(x, ws, block_size: int = 32,
         ys = block_gather_gemv_multi(idx, xpack, raw, G=G, k_keep=k_keep,
                                      out_dtype=jnp.float32, layer=layer)
     outs = []
-    for y, w, q in zip(ys, ws, quantized):
-        if q:
-            y = y * w["scale"][None, :]
+    for y, s in zip(ys, scales):
+        if s is not None:
+            y = y * s[None, :]
         outs.append(y.astype(x.dtype).reshape(*lead, y.shape[-1]))
     return outs
 

@@ -129,6 +129,114 @@ def int8_block_sparse_matmul(x, wq: Int8Weight, block_size: int = 32,
     return y.reshape(*lead, N)
 
 
+# -- packed int4 for the gather kernel ---------------------------------------
+
+def int4_gather_group(block_size: int, K: int) -> int:
+    """Gather group size for int4 weights: the packed slab [G/2, N] must
+    cover whole int8 sublane tiles (32 rows), so G >= 64."""
+    return max(64, effective_block_size(block_size, K))
+
+
+def pack_int4(wq: Int4Weight):
+    """Int4Weight (quant group g) -> {"qp", "sz"} kernel layout.
+
+    qp [K/2, N] int8: rows [b*g, b*g + g/2) of nib = q+8 in the low
+    nibbles, rows [b*g + g/2, (b+1)*g) in the high nibbles of packed
+    rows [b*g/2, (b+1)*g/2) — pairing stays inside each quant group, so
+    a gathered slab at G == g unpacks to naturally-ordered rows via one
+    concatenate (no lane interleave).
+    sz [K//g, 2, N] f32: per-(group, out-channel) [scale, zero].
+    """
+    K, N = wq.q.shape
+    g = wq.group
+    if g % 2:
+        raise ValueError(f"odd quant group {g}")
+    nib = (wq.q.astype(jnp.int32) + 8).astype(jnp.uint8)
+    r = nib.reshape(K // g, g, N)
+    lo = r[:, : g // 2]
+    hi = r[:, g // 2:]
+    packed = (lo | (hi << 4)).astype(jnp.int8).reshape(K // 2, N)
+    sz = jnp.stack([wq.scale, wq.zero], axis=1).astype(jnp.float32)
+    return {"qp": packed, "sz": sz}
+
+
+def unpack_int4(qp, sz, dtype=jnp.bfloat16):
+    """Inverse of pack_int4 (the dense/prefill path; XLA fuses the
+    unpack+affine into the consuming matmul's operand read)."""
+    K2, N = qp.shape[-2:]
+    lead = qp.shape[:-2]
+    nbg = sz.shape[-3]
+    g = 2 * K2 // nbg
+    pi = qp.astype(jnp.int32)
+    lo = (pi & 15).reshape(*lead, nbg, g // 2, N)
+    hi = ((pi >> 4) & 15).reshape(*lead, nbg, g // 2, N)
+    nib = jnp.concatenate([lo, hi], axis=-2).astype(jnp.float32)
+    w = nib * sz[..., 0:1, :] + sz[..., 1:2, :]
+    return w.reshape(*lead, 2 * K2, N).astype(dtype)
+
+
+def int4_packed_matmul(x, w: Dict):
+    """Dense matmul against a packed int4 dict {"qp", "sz"}."""
+    return jnp.matmul(x, unpack_int4(w["qp"], w["sz"], x.dtype),
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def pack_int4_params(params, block_size: int = 32) -> Dict:
+    """Convert a whole int4 params pytree ({"q","scale","zero"} leaves,
+    any quant group) to the packed decode layout ({"qp","sz"} leaves
+    with quant group == the int4 gather group). Leaves whose stored
+    group differs are REQUANTIZED from the dequantized weights at the
+    gather group (use `cli quantize --group-size 64` to avoid the extra
+    lossy step for 4k-dim models)."""
+    out = {k: v for k, v in params.items() if k != "layers"}
+    layers = {}
+    for name, leaf in params["layers"].items():
+        if not (isinstance(leaf, dict) and "zero" in leaf):
+            layers[name] = leaf
+            continue
+        L, K, N = leaf["q"].shape
+        g_stored = K // leaf["scale"].shape[-2]
+        G = int4_gather_group(block_size, K)
+        packed = []
+        for l in range(L):
+            wq = Int4Weight(q=leaf["q"][l], scale=leaf["scale"][l],
+                            zero=leaf["zero"][l], group=g_stored)
+            if g_stored != G:
+                wq = quantize_int4(dequantize_int4(wq, jnp.float32),
+                                   group=G)
+            packed.append(pack_int4(wq))
+        layers[name] = {
+            "qp": jnp.stack([p["qp"] for p in packed]),
+            "sz": jnp.stack([p["sz"] for p in packed]),
+        }
+    out["layers"] = layers
+    return out
+
+
+def int4_block_sparse_matmul(x, w: Dict, block_size: int = 32,
+                             keep_frac: Optional[float] = None,
+                             threshold=None):
+    """Sparse + int4 decode projection: gathered packed slabs dequantize
+    through the factored affine inside the kernel (docs/KERNEL_NOTES.md;
+    beyond-reference capability — the reference supports neither sparse
+    int8 nor sparse int4, README.md:110)."""
+    from teal_tpu.ops.block_gemv import (
+        block_gather_gemv_multi, select_groups,
+    )
+
+    K = 2 * w["qp"].shape[-2]
+    N = w["qp"].shape[-1]
+    G = int4_gather_group(block_size, K)
+    nb = K // G
+    k_keep = max(1, min(nb, int(round(nb * (keep_frac if keep_frac else 0.625)))))
+    lead = x.shape[:-1]
+    idx, xpack = select_groups(x.reshape(1, K), G, k_keep,
+                               threshold=threshold)
+    y = block_gather_gemv_multi(idx, xpack, (w,), G=G, k_keep=k_keep,
+                                out_dtype=x.dtype)[0]
+    return y.reshape(*lead, N)
+
+
 # -- whole-model quantization -------------------------------------------------
 
 def int4_dict_matmul(x, w: Dict):

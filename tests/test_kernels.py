@@ -361,3 +361,77 @@ def test_unified_threshold_semantics_overflow_regime():
                         rtol=1e-5, atol=1e-4,
                         err_msg=f"impl {i+1} trial={trial} q={q} keep={keep}",
                     )
+
+
+def test_int4_pack_unpack_roundtrip():
+    from teal_tpu.ops import quant
+
+    w = jax.random.normal(jax.random.PRNGKey(2), (128, 256), jnp.float32)
+    wq = quant.quantize_int4(w, group=64)
+    packed = quant.pack_int4(wq)
+    assert packed["qp"].shape == (64, 256)
+    assert packed["sz"].shape == (2, 2, 256)
+    wd_ref = quant.dequantize_int4(wq, jnp.float32)
+    wd = quant.unpack_int4(packed["qp"], packed["sz"], jnp.float32)
+    np.testing.assert_allclose(np.asarray(wd), np.asarray(wd_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_int4_block_sparse_matmul_matches_dequant_twin():
+    """Fused int4 gather kernel == select-mask + dequantized dense matmul
+    (exact: factored affine is algebraically identical)."""
+    from teal_tpu.ops import quant
+    from teal_tpu.ops.sparsify import sparsify_groups
+
+    key = jax.random.PRNGKey(7)
+    kx, kw = jax.random.split(key)
+    K, N = 256, 256
+    x = jax.random.normal(kx, (1, K), jnp.float32)
+    w = jax.random.normal(kw, (K, N), jnp.float32)
+    wq = quant.quantize_int4(w, group=64)
+    packed = quant.pack_int4(wq)
+    wd = np.asarray(quant.dequantize_int4(wq, jnp.float32))
+
+    for keep in (0.5, 1.0):
+        y = quant.int4_block_sparse_matmul(x, packed, block_size=64,
+                                           keep_frac=keep)
+        xs = np.asarray(sparsify_groups(x, 64, keep))
+        ref = xs @ wd
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-3,
+                                   atol=1e-2,
+                                   err_msg=f"keep={keep}")
+
+
+def test_int4_model_block_decode():
+    """Packed-int4 model through the block kernel decode path (stacked
+    weights + in-kernel dequant) vs the dense packed path at keep=1."""
+    from teal_tpu.config import get_model_config
+    from teal_tpu.models import llama
+    from teal_tpu.models.llama import KVCache
+    from teal_tpu.ops import quant
+
+    cfg = get_model_config("tiny", dim=256, intermediate_size=512,
+                           n_heads=4, n_kv_heads=2, vocab_size=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    q4 = quant.quantize_params_int4(params, group=64)
+    q4p = quant.pack_int4_params(q4, block_size=64)
+    assert set(q4p["layers"]["wq"]) == {"qp", "sz"}
+    tok = jnp.array([[7]], jnp.int32)
+    th = llama.zero_thresholds(cfg)
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=64,
+                        block_keep_frac=1.0)
+    cache = KVCache.init(cfg, 1, 8, jnp.bfloat16)
+    got, _ = llama.forward(q4p, tok, cache, 0, th, cfg=cfg, sp=sp)
+
+    cache = KVCache.init(cfg, 1, 8, jnp.bfloat16)
+    ref, _ = llama.forward(q4p, tok, cache, 0, th, cfg=cfg,
+                           sp=SparsityConfig())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-3, atol=5e-2)
+
+    # sparse: runs and differs
+    sp2 = sp.replace(block_keep_frac=0.5)
+    cache = KVCache.init(cfg, 1, 8, jnp.bfloat16)
+    got2, _ = llama.forward(q4p, tok, cache, 0, th, cfg=cfg, sp=sp2)
+    assert np.isfinite(np.asarray(got2)).all()
+    assert not np.allclose(np.asarray(got2), np.asarray(ref))
