@@ -86,6 +86,8 @@ def calibrate(
         for module in ("self_attn", "mlp"):
             hists: Dict[str, Histogram] = {}
             for htype in ("h1", "h2"):
+                if htype not in caps[module]:
+                    continue  # MoE layers have no shared mlp h2
                 vals = np.asarray(caps[module][htype], np.float32)
                 hists[htype] = build_histogram(
                     vals, num_bins=num_bins, outlier_threshold=outlier_threshold

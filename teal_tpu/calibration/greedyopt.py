@@ -43,11 +43,25 @@ from teal_tpu.calibration.thresholds import (
 )
 
 
-def proj_weights(cfg: ModelConfig) -> Dict[str, float]:
+def proj_weights(cfg: ModelConfig, *,
+                 reference_compat: bool = False) -> Dict[str, float]:
     """Parameter-count weights relative to q (generalizes the reference's
-    per-model `weight_dict` to any config)."""
+    per-model `weight_dict` to any config).
+
+    DELIBERATE DEVIATION from the reference for MHA Llama-2 models: true
+    param counts give k = v = 1.0 there, while the reference hardcodes
+    1/8 for every model incl. MHA (`teal/greedyopt.py:26-52`) — a GQA
+    ratio applied where no GQA exists. Our weighting is self-consistent
+    (effective sparsity == parameter-weighted sparsity == actual bytes
+    skipped at decode). Pass `reference_compat=True` to reproduce the
+    reference's scale when comparing 'Effective Sparsity' against its
+    SHIPPED lookup CSVs for Llama-2-7B/13B.
+    """
     q = cfg.proj_params("q")
-    return {p: cfg.proj_params(p) / q for p in PROJS}
+    w = {p: cfg.proj_params(p) / q for p in PROJS}
+    if reference_compat and cfg.n_kv_heads == cfg.n_heads:
+        w["k"] = w["v"] = 1.0 / 8.0
+    return w
 
 
 def effective_sparsity(sparsities: Dict[str, float], weights: Dict[str, float]) -> float:

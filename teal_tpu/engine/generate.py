@@ -86,6 +86,7 @@ class Generator:
         fwd_dense_prefill = functools.partial(
             llama.forward, cfg=cfg,
             sp=sp if sp.apply_prefill else dense_sp,
+            causal_prefill=True,   # prefill always starts at pos 0
         )
 
         def prefill_fn(params, cache, tokens, pos, thresholds, key, true_len):

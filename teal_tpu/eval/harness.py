@@ -52,7 +52,7 @@ class ScoreModel:
                                      llama.compute_dtype(params))
                 logits, _ = llama.forward(
                     params, tokens, cache, 0, thresholds,
-                    cfg=self.cfg, sp=self.sp,
+                    cfg=self.cfg, sp=self.sp, causal_prefill=True,
                 )
                 logits = logits[:, :-1].astype(jnp.float32)
                 logp = jax.nn.log_softmax(logits, axis=-1)

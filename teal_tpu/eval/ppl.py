@@ -42,7 +42,8 @@ def _window_nll(params, tokens, n_valid, n_score, thresholds,
     t = tokens.shape[1]
     cache = KVCache.init(cfg, 1, t, llama.compute_dtype(params))
     logits, _ = llama.forward(
-        params, tokens, cache, 0, thresholds, cfg=cfg, sp=sp
+        params, tokens, cache, 0, thresholds, cfg=cfg, sp=sp,
+        causal_prefill=True,
     )
     logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
     labels = tokens[:, 1:]

@@ -128,6 +128,31 @@ def _proj(x, w, thresh, sp: SparsityConfig, *, proj: str):
     return jnp.matmul(xs, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+def _flash_prefill_attention(q, k_new, v_new):
+    """Fused causal prefill attention (Pallas TPU flash kernel) for the
+    pos==0 full-prompt case: q/k/v cover positions 0..S, so plain causal
+    masking is exact and the [S, T] fp32 score matrix (537 MB at 7B/2k)
+    is never materialized. q: [B, Hq, S, D]; k/v: [B, Hkv, S, D]."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    g = q.shape[1] // k_new.shape[1]
+    k = jnp.repeat(k_new, g, axis=1)
+    v = jnp.repeat(v_new, g, axis=1)
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    return fa.flash_attention(q, k, v, causal=True, sm_scale=scale)
+
+
+def _can_flash_prefill(s: int, head_dim: int, sliding_window) -> bool:
+    """Static gate for the flash prefill path: TPU backend, no sliding
+    window (Mistral keeps the einsum path), and flash-tileable shapes."""
+    return (
+        sliding_window is None
+        and s >= 256 and s % 128 == 0
+        and head_dim % 128 == 0
+        and jax.default_backend() not in ("cpu",)
+    )
+
+
 def _attention(q, k, v, pos, q_len: int, max_seq: int,
                sliding_window: Optional[int]):
     """Grouped-query attention over the full static cache.
@@ -165,7 +190,8 @@ def _attention(q, k, v, pos, q_len: int, max_seq: int,
 
 def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
                   cfg: ModelConfig, sp: SparsityConfig, thresholds,
-                  capture: bool = False, stacked=None, layer_idx=None):
+                  capture: bool = False, stacked=None, layer_idx=None,
+                  causal_prefill: bool = False):
     """One transformer block. h: [B, S, D]; kc/vc: [B, Hkv, T, Dh].
 
     thresholds: [7] per-projection scalars (order `config.PROJS`).
@@ -251,7 +277,16 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
     kc = upd(kc, k.astype(kc.dtype), pos)
     vc = upd(vc, v.astype(vc.dtype), pos)
 
-    attn = _attention(q, kc, vc, pos, s, kc.shape[2], cfg.sliding_window)
+    if (causal_prefill and s > 1
+            and _can_flash_prefill(s, cfg.head_dim, cfg.sliding_window)):
+        # pos==0 full-prompt prefill: fused flash kernel over the fresh
+        # k/v (identical to masked attention over the zero-initialized
+        # cache — invalid slots past S are masked out either way)
+        attn = _flash_prefill_attention(q, k.astype(kc.dtype),
+                                        v.astype(vc.dtype))
+    else:
+        attn = _attention(q, kc, vc, pos, s, kc.shape[2],
+                          cfg.sliding_window)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1)      # attn h2
     if use_block:
         (o_out,) = blockproj(attn, ["wo"], kf[3], bt("o"))
@@ -269,7 +304,12 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
         h = h + moe.moe_ffn(y, lp, cfg)
         caps = None
         if capture:
-            raise NotImplementedError("capture mode not supported for MoE")
+            # attention groups + the shared MoE FFN input (mlp h1).
+            # Per-expert intermediates (the dense model's mlp h2) have no
+            # single shared tensor; calibration skips that histogram
+            # (beyond-reference: upstream has zero MoE-TEAL integration).
+            caps = {"self_attn": {"h1": x, "h2": attn},
+                    "mlp": {"h1": y}}
         return h, kc, vc, caps
     if use_block:
         if kf[4] == kf[5]:
@@ -310,10 +350,14 @@ def _layer_params_at(params, i):
 
 def forward(params, tokens, cache: KVCache, pos, thresholds, *,
             cfg: ModelConfig, sp: SparsityConfig,
-            return_hidden: bool = False):
+            return_hidden: bool = False, causal_prefill: bool = False):
     """Full forward. tokens: [B, S] int32; pos: scalar start position
     shared by the batch, or [B] per-sequence positions (continuous
     batching: each slot decodes at its own depth).
+
+    causal_prefill (static): caller guarantees pos == 0 and an empty
+    cache (full-prompt prefill / ppl windows), enabling the fused flash
+    attention path for large aligned sequences.
 
     Returns (logits [B, S, V] fp32, new_cache).
     """
@@ -336,6 +380,7 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
         h, kc, vc, _ = layer_forward(
             h, lp, kc, vc, pos, cos, sin, cfg, sp, thresh_l,
             stacked=params["layers"], layer_idx=i,
+            causal_prefill=causal_prefill,
         )
         kc_all = jax.lax.dynamic_update_slice_in_dim(
             kc_all, kc[None], i, axis=0

@@ -55,17 +55,21 @@ def moe_ffn(y, lp, cfg: ModelConfig):
     weights = jax.nn.softmax(top_vals, axis=-1)       # normalized over top-k
 
     b, s, d = y.shape
-    if s == 1 and b == 1:
-        # decode: gather only the routed experts' weights
-        idx = top_idx[0, 0]                           # [k]
-        wg = lp["wgate"][idx]                         # [k, D, I]
+    if s == 1 and b <= 8:
+        # decode: gather only the routed experts' weights. Batched (B<=8)
+        # decode gathers per-token expert sets — B*k expert reads (the
+        # memory-bound case the reference's ConditionalFeedForward b==1
+        # indexing covers, mixtral-moe/model.py:193-199, extended to the
+        # engine's slot batch).
+        idx = top_idx[:, 0]                           # [B, k]
+        wg = lp["wgate"][idx]                         # [B, k, D, I]
         wu = lp["wup"][idx]
         wd = lp["wdown"][idx]
-        outs = jax.vmap(lambda g, u, dn: _expert_ffn(y[0, 0], g, u, dn))(
-            wg, wu, wd
-        )                                             # [k, D]
-        out = jnp.sum(outs * weights[0, 0][:, None].astype(y.dtype), axis=0)
-        return out[None, None, :]
+        outs = jax.vmap(jax.vmap(
+            _expert_ffn, in_axes=(None, 0, 0, 0)
+        ))(y[:, 0], wg, wu, wd)                       # [B, k, D]
+        w8 = weights[:, 0][..., None].astype(y.dtype)  # [B, k, 1]
+        return jnp.sum(outs * w8, axis=1)[:, None, :]
 
     # prefill: run every expert, combine by routing weights
     all_out = jax.vmap(

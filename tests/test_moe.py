@@ -77,3 +77,76 @@ def test_moe_routing_uses_different_experts(moe_tiny):
         logits = ys[i : i + 1] @ lp["router"]
         idxs.append(tuple(np.asarray(jax.lax.top_k(logits, 2)[1]).ravel()))
     assert len(set(idxs)) > 1
+
+
+def test_moe_batched_decode_matches_single(moe_tiny):
+    """B<=8 decode gathers per-token expert sets; each row must equal the
+    corresponding single-request decode (VERDICT missing #4: batched
+    decode previously silently read all experts)."""
+    cfg, params = moe_tiny
+    th = llama.zero_thresholds(cfg)
+    sp = SparsityConfig()
+    toks = jnp.array([[3], [7], [11], [2]], jnp.int32)
+
+    cache = KVCache.init(cfg, 4, 8, jnp.float32)
+    batched, _ = llama.forward(params, toks, cache, 0, th, cfg=cfg, sp=sp)
+    for b in range(4):
+        cache1 = KVCache.init(cfg, 1, 8, jnp.float32)
+        single, _ = llama.forward(params, toks[b:b + 1], cache1, 0, th,
+                                  cfg=cfg, sp=sp)
+        np.testing.assert_allclose(
+            np.asarray(batched[b]), np.asarray(single[0]),
+            rtol=1e-4, atol=1e-4, err_msg=f"slot {b}",
+        )
+
+
+def test_moe_tp_matches_single_device(moe_tiny):
+    """Mixtral TP: expert stacks shard over the intermediate dim (the
+    reference's _apply_tp_moe_ffn pattern); logits must match the
+    unsharded model (VERDICT missing #4: shard_params used to throw on
+    MoE params)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from teal_tpu.models.llama import KVCache
+    from teal_tpu.parallel import make_mesh, shard_cache, shard_params
+
+    cfg, params = moe_tiny
+    tokens = jnp.array([[5, 3, 8, 1]], jnp.int32)
+    th = llama.zero_thresholds(cfg)
+
+    cache = KVCache.init(cfg, 1, 8, jnp.float32)
+    ref, _ = llama.forward(params, tokens, cache, 0, th, cfg=cfg,
+                           sp=SparsityConfig())
+
+    mesh = make_mesh(tp=2, dp=1, devices=jax.devices()[:2])
+    p_sh = shard_params(params, mesh, cfg)
+    c_sh = shard_cache(KVCache.init(cfg, 1, 8, jnp.float32), mesh)
+    with jax.set_mesh(mesh):
+        out, _ = jax.jit(
+            lambda p, c: llama.forward(p, tokens, c, 0, th, cfg=cfg,
+                                       sp=SparsityConfig())
+        )(p_sh, c_sh)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_moe_capture_and_calibrate(moe_tiny, tmp_path):
+    """MoE capture yields attention h1/h2 + mlp h1; calibrate writes
+    histograms, skipping the per-expert mlp h2."""
+    import os
+
+    from teal_tpu.calibration import calibrate
+
+    cfg, params = moe_tiny
+    tokens = np.random.default_rng(0).integers(0, cfg.vocab_size, (1, 32))
+    out = str(tmp_path / "moe_calib")
+    calibrate(params, cfg, tokens, out, num_bins=128,
+              save_layer_inputs=False, group_sizes=(16,))
+    attn = os.path.join(out, "histograms", "layer-0", "self_attn")
+    mlp = os.path.join(out, "histograms", "layer-0", "mlp")
+    import numpy as _np
+
+    attn_keys = set(_np.load(os.path.join(attn, "histograms.npz")).keys())
+    mlp_keys = set(_np.load(os.path.join(mlp, "histograms.npz")).keys())
+    assert {"h1", "h1_centers", "h2", "h2_centers"} <= attn_keys
+    assert "h1" in mlp_keys and "h2" not in mlp_keys
