@@ -270,6 +270,49 @@ def main():
         log(f"int8 sparse@{args.sparsity}: {tps_qs:.2f} tok/s "
             f"({tps_qs / tps_q:.2f}x vs int8 dense)")
 
+        log("building packed-int4 params...")
+        from teal_tpu.ops import quant as _quant
+
+        def as_int4(name, leaf):
+            if not isinstance(leaf, dict):
+                return leaf
+            q = leaf["q"]
+            L, K, N = q.shape
+            G = _quant.int4_gather_group(args.block_size, K)
+            nb = K // G
+
+            @jax.jit
+            def build():
+                qp = (jnp.arange(L * (K // 2) * N, dtype=jnp.uint32)
+                      * jnp.uint32(2654435761) >> 24).astype(jnp.int8)
+                return qp.reshape(L, K // 2, N)
+
+            sz = jnp.concatenate([
+                jnp.full((L, nb, 1, N), 1e-3, jnp.float32),
+                jnp.full((L, nb, 1, N), -8e-3, jnp.float32),
+            ], axis=2)
+            return {"qp": build(), "sz": sz}
+
+        old = qparams["layers"]
+        lay4 = {}
+        for k in list(old.keys()):
+            v = old.pop(k)
+            lay4[k] = as_int4(k, v)
+            del v
+        q4params = {"embed": qparams["embed"],
+                    "final_norm": qparams["final_norm"],
+                    "lm_head": qparams["lm_head"], "layers": lay4}
+        del qparams, old
+        # packed int4 always decodes through the gather kernel; "dense"
+        # = full capacity (every group read)
+        tps_q4d = decode_tps(cfg, q4params, dense_sp, args.max_seq,
+                             n_short, n_long)
+        log(f"int4 dense (kernel, keep=1.0): {tps_q4d:.2f} tok/s")
+        tps_q4s = decode_tps(cfg, q4params, sparse_sp, args.max_seq,
+                             n_short, n_long)
+        log(f"int4 sparse@{args.sparsity}: {tps_q4s:.2f} tok/s "
+            f"({tps_q4s / tps_q4d:.2f}x vs int4 dense)")
+
     speedup = tps_sparse / tps_dense
     print(json.dumps({
         "metric": f"sparse_decode_speedup_{int(args.sparsity*100)}pct_{args.model}",

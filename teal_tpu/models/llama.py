@@ -96,16 +96,23 @@ def _proj(x, w, thresh, sp: SparsityConfig, *, proj: str):
     prefill is dense in the fast engine (`kernels/sparse_gemv.py:271`).
     `w` may be a raw array or an int8 weight-only dict {"q", "scale"}.
     """
+    import math
+
     quantized = isinstance(w, dict)
     is_int4 = quantized and "zero" in w          # unpacked {"q","scale","zero"}
     is_int4_packed = quantized and "qp" in w     # kernel layout {"qp","sz"}
+    if (is_int4_packed and x.shape[-2] == 1
+            and math.prod(x.shape[:-1]) == 1):
+        # packed int4 decode always rides the gather kernel (see
+        # layer_forward: the XLA unpack path rematerializes bf16 weights)
+        from teal_tpu.ops import quant
+        sparse = sp.enabled and sp.kernel == "block"
+        return quant.int4_block_sparse_matmul(
+            x, w, sp.block_size,
+            sp.block_keep_frac if sparse else 1.0,
+            threshold=thresh if (sparse and sp.block_thresholding) else None,
+        )
     if sp.enabled and x.shape[-2] == 1 and sp.kernel != "masked_dense":
-        if is_int4_packed and sp.kernel == "block":
-            from teal_tpu.ops import quant
-            return quant.int4_block_sparse_matmul(
-                x, w, sp.block_size, sp.block_keep_frac,
-                threshold=thresh if sp.block_thresholding else None,
-            )
         if quantized and not is_int4 and not is_int4_packed \
                 and sp.kernel == "block":
             from teal_tpu.ops import quant
@@ -210,9 +217,15 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
     t = {p: thresholds[i] for i, p in enumerate(PROJS)}
     # block-kernel fast path: single-token decode, batch <= 8 (batch > 1
     # rides the MXU lhs rows for free with a batch-pooled shared group
-    # selection — beyond the reference's batch-1-only engine)
-    use_block = (sp.enabled and sp.kernel == "block" and s == 1
-                 and b <= 8)
+    # selection — beyond the reference's batch-1-only engine).
+    # Packed-int4 weights ALWAYS decode through the gather kernel (at
+    # full capacity when sparsity is off): the XLA dense path would
+    # rematerialize the unpacked [K, N] bf16 weights every token
+    # (measured 9 tok/s vs 168 through the kernel on 7B).
+    is_int4_packed = isinstance(lp["wq"], dict) and "qp" in lp["wq"]
+    sparse_block = sp.enabled and sp.kernel == "block"
+    use_block = (s == 1 and b <= 8
+                 and (sparse_block or is_int4_packed))
 
     def stacked_w(name):
         """Weight for the block kernel: stacked 3D when available."""
@@ -229,11 +242,15 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
 
     # --- attention ---
     x = rms_norm(h, lp["attn_norm"], cfg.norm_eps)          # attn h1
-    kf = sp.block_keep_fracs or (sp.block_keep_frac,) * 7
+    if sparse_block:
+        kf = sp.block_keep_fracs or (sp.block_keep_frac,) * 7
+    else:
+        kf = (1.0,) * 7   # int4-dense-via-kernel: read every group
 
     def bt(name):
         """Group-score threshold for a projection (threshold mode only)."""
-        return t[name] if (sp.block_thresholding and b == 1) else None
+        return t[name] if (sparse_block and sp.block_thresholding
+                           and b == 1) else None
 
     def blockproj(inp, names, frac, thr):
         """Block-sparse projections for 1 <= b <= 8 single-token inputs."""
