@@ -45,8 +45,10 @@ def block_gather_gemv(idx, xpack, w, *, G: int, k_keep: int,
     """y[1, N] = sum over kept groups of xpack[g] @ w[G-slab g].
 
     idx:   [k_keep] int32 — kept group indices (ascending for DMA locality)
-    xpack: [k_keep, 8, 128] — group g's x values in lanes [:G], replicated
-           across the 8 sublanes (MXU lhs layout)
+    xpack: [k_keep, 1, 128] — kept group j's x values in row j, lanes
+           [:G] (broadcast to the [8, G] MXU lhs in-kernel); or
+           [k_keep, 8, 128] with distinct per-batch sublane rows
+           (batched decode)
     w:     [K, N]
     """
     K, N = w.shape
@@ -63,9 +65,11 @@ def block_gather_gemv(idx, xpack, w, *, G: int, k_keep: int,
 def effective_block_size(G: int, K: int) -> int:
     """Grid steps cost a fixed ~200 ns regardless of slab size (measured),
     so deep input dims double the group size to keep the per-step DMA
-    large enough to amortize it (e.g. down-proj K=11008: G 32 -> 64)."""
+    large enough to amortize it (e.g. down-proj K=11008: G 32 -> 64).
+    Capped at one lane tile (128) so a group's x values fit one row of
+    the kernel's [rows, 128] input layout."""
     g = G
-    while K // g > 256 and K % (g * 2) == 0:
+    while K // g > 256 and K % (g * 2) == 0 and g < LANES:
         g *= 2
     return g
 
@@ -119,6 +123,21 @@ class _WeightPlan:
 
 def _plan_weights(ws):
     return [_WeightPlan(w) for w in ws]
+
+
+def _xi_at(x_ref, j, G: int):
+    """Group j's x values as the [SUBLANES, G] MXU lhs.
+
+    x is packed [rows, 1, LANES] for batch-1 (one row per group,
+    broadcast across sublanes HERE instead of materializing the
+    8x-replicated copy in XLA — Mosaic only dynamic-indexes the leading
+    non-tiled dim, so the row carries its own (1, 128) tile), or
+    [rows, SUBLANES, LANES] with distinct per-batch sublane rows
+    (batched decode)."""
+    if x_ref.shape[1] == 1:
+        row = x_ref[j][0, :G]
+        return jnp.broadcast_to(row[None, :], (SUBLANES, G))
+    return x_ref[j][:, :G]
 
 
 def _dma_copies(plan, w_refs, bufs, sems, layer_ref, slot, gidx, G: int):
@@ -256,7 +275,7 @@ def _manual_gather_kernel(idx_ref, layer_ref, x_ref, *refs, G: int, plans,
             def _():
                 start(jax.lax.rem(j + depth - 1, depth), j + depth - 1)
 
-            xi = x_ref[j][:, :G]
+            xi = _xi_at(x_ref, j, G)
             for wi, p in enumerate(plans):
                 _accumulate(p, w_ref_groups[wi], bufs[wi], sems[wi],
                             layer_ref, slot, idx_ref[j], xi, acc,
@@ -410,7 +429,7 @@ def _fused_select_gather_kernel(thr_ref, layer_ref, x3_ref, *refs, G: int,
 
             @pl.when(j < count)
             def _():
-                xi = x3_ref[idx_s[j]][:, :G]
+                xi = _xi_at(x3_ref, idx_s[j], G)
                 for wi, p in enumerate(plans):
                     _accumulate(p, w_ref_groups[wi], bufs[wi], sems[wi],
                                 layer_ref, slot, idx_s[j], xi, acc,
@@ -490,13 +509,16 @@ def fused_select_gather_gemv(x3, thr, ws, *, G: int, cap: int,
 
 
 def pack_x3(x, G: int):
-    """[1, K] -> [nb, 8, 128]: group values in lanes [:G], replicated over
-    sublanes (the fused kernel's input layout)."""
+    """[1, K] -> [nb, 1, 128]: group g's values in row g, lanes [:G],
+    zero beyond (the kernels' single-row input layout; the [SUBLANES, G]
+    MXU lhs is broadcast in-kernel — materializing the 8x replication in
+    XLA cost ~0.2 ms/token at 7B)."""
     K = x.shape[-1]
     nb = K // G
-    xg = x.reshape(nb, 1, G)
-    x3 = jnp.zeros((nb, SUBLANES, LANES), x.dtype)
-    return x3.at[:, :, :G].set(jnp.broadcast_to(xg, (nb, SUBLANES, G)))
+    if G == LANES:
+        return x.reshape(nb, 1, LANES)
+    x2 = jnp.zeros((nb, LANES), x.dtype)
+    return x2.at[:, :G].set(x.reshape(nb, G)).reshape(nb, 1, LANES)
 
 
 def group_scores(x, G: int):
@@ -538,8 +560,11 @@ def select_groups(x, G: int, k_keep: int,
         top_s, idx = jax.lax.top_k(s, k_keep)
         idx = jnp.sort(idx)
         xg = x.reshape(nb, G)[idx]                   # [k_keep, G]
-    xpack = jnp.zeros((xg.shape[0], SUBLANES, LANES), x.dtype)
-    xpack = xpack.at[:, :, :G].set(xg[:, None, :])
+    if G == LANES:
+        xpack = xg.reshape(xg.shape[0], 1, LANES)
+    else:
+        xpack = jnp.zeros((xg.shape[0], LANES), x.dtype)
+        xpack = xpack.at[:, :G].set(xg).reshape(xg.shape[0], 1, LANES)
     return idx.astype(jnp.int32), xpack
 
 

@@ -85,3 +85,29 @@ def test_gptq_whole_model_runs_and_tracks_fp():
     rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
     assert np.isfinite(np.asarray(got)).all()
     assert rel < 0.25, rel
+
+
+def test_gptq_pack_roundtrip_through_gather_kernel(problem):
+    """GPTQ int4 -> nibble-pack -> fused gather kernel: end-to-end
+    (quantize CLI int4-gptq artifacts drive the sparse decode path)."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from teal_tpu.ops import quant
+
+    w, x = problem  # w [K, N]
+    K = w.shape[0]
+    wq = gptq_quantize_int4(w, x, group=64)
+    packed = quant.pack_int4(wq)
+    wd = np.asarray(quant.dequantize_int4(wq, jnp.float32))
+    # packed unpack is exactly the affine dequant
+    wu = np.asarray(quant.unpack_int4(packed["qp"], packed["sz"],
+                                      jnp.float32))
+    np.testing.assert_allclose(wu, wd, rtol=1e-5, atol=1e-5)
+
+    xv = jnp.asarray(x[:1], jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        y = quant.int4_block_sparse_matmul(xv, packed, block_size=64,
+                                           keep_frac=1.0)
+    ref = np.asarray(xv) @ wd
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-3, atol=1e-2)

@@ -71,7 +71,7 @@ def test_block_selection_drops_lowest_scores(xw):
     idx, xpack = block_gemv.select_groups(x, G, k)
     expected = np.sort(np.argsort(-s, kind="stable")[:k])
     np.testing.assert_array_equal(np.sort(np.asarray(idx)), expected)
-    # xpack lanes [:G] carry the group's x values
+    # xpack lanes [:G] carry the group's x values (single-row layout)
     xg = np.asarray(x).reshape(nb, G)
     np.testing.assert_allclose(np.asarray(xpack)[:, 0, :G],
                                xg[np.asarray(idx)])
