@@ -181,7 +181,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="7B")
     ap.add_argument("--sparsity", type=float, default=0.5)
-    ap.add_argument("--block-size", type=int, default=32)
+    ap.add_argument("--block-size", type=int, default=64,
+                    help="gather group size (64 = best measured; with the "
+                         "channel permutation G=64 quality ~= G=32, "
+                         "docs/ACCURACY.md)")
     ap.add_argument("--max-seq", type=int, default=256)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--random-init", action="store_true")
@@ -189,10 +192,15 @@ def main():
                     help="also bench 40%%/75%% sparsity and int8 variants")
     ap.add_argument("--batch", type=int, default=1,
                     help="decode batch size (sparse block mode supports <=8)")
-    ap.add_argument("--thresholded", action="store_true",
-                    help="use in-kernel threshold selection (threshold 0 + "
-                         "capacity => same bytes read as top-k at the same "
-                         "sparsity)")
+    ap.add_argument("--thresholded", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="in-kernel threshold selection (the production "
+                         "path, docs/ACCURACY.md): the scalar-core scan "
+                         "covers all groups and the capacity bounds the "
+                         "DMAs, so threshold 0 + cap does the identical "
+                         "per-token work as a calibrated threshold at the "
+                         "same survivor rate; --no-thresholded benches "
+                         "XLA top-k selection")
     args = ap.parse_args()
 
     from teal_tpu.config import SparsityConfig

@@ -248,9 +248,9 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
         kf = (1.0,) * 7   # int4-dense-via-kernel: read every group
 
     def bt(name):
-        """Group-score threshold for a projection (threshold mode only)."""
-        return t[name] if (sparse_block and sp.block_thresholding
-                           and b == 1) else None
+        """Group-score threshold for a projection (threshold mode only;
+        batched decode applies it to the batch-pooled group score)."""
+        return t[name] if (sparse_block and sp.block_thresholding) else None
 
     def blockproj(inp, names, frac, thr):
         """Block-sparse projections for 1 <= b <= 8 single-token inputs."""
@@ -263,7 +263,7 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
             )
         outs = block_gemv.project_many_batched(
             inp.reshape(b, inp.shape[-1]), ws, sp.block_size, frac,
-            layer=li,
+            layer=li, threshold=thr,
         )
         return [o.reshape(b, 1, -1) for o in outs]
 

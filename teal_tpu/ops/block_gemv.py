@@ -568,21 +568,34 @@ def select_groups(x, G: int, k_keep: int,
     return idx.astype(jnp.int32), xpack
 
 
-def select_groups_batched(x, G: int, k_keep: int):
+def select_groups_batched(x, G: int, k_keep: int, threshold=None):
     """Batched (B <= 8) selection: groups picked by the max score across
     the batch (shared kept set — the union-biased compromise that keeps
     the gather capacity static), xpack rows 0..B-1 carry each sequence's
     values. The MXU lhs has 8 rows regardless, so batched decode costs the
-    same HBM traffic as batch-1."""
+    same HBM traffic as batch-1.
+
+    With `threshold`, the unified rule applies to the POOLED score:
+    survivors in ascending index order, first k_keep kept."""
     B, K = x.shape
     assert B <= SUBLANES, (B, SUBLANES)
     nb = K // G
     scores = jnp.max(jnp.abs(x).reshape(B, nb, G), axis=-1)   # [B, nb]
     pooled = jnp.max(scores, axis=0)                          # [nb]
-    _, idx = jax.lax.top_k(pooled, k_keep)
-    idx = jnp.sort(idx)
-    xg = x.reshape(B, nb, G)[:, idx]                          # [B, k, G]
-    xpack = jnp.zeros((k_keep, SUBLANES, LANES), x.dtype)
+    if threshold is not None:
+        surv = pooled > threshold
+        mask = surv & (jnp.cumsum(surv) <= k_keep)
+        order = jnp.where(mask, jnp.arange(nb), nb)
+        idx = jnp.sort(order)[: min(k_keep, nb)]
+        pad = idx >= nb
+        idx = jnp.where(pad, 0, idx)
+        xg = x.reshape(B, nb, G)[:, idx]                      # [B, k, G]
+        xg = jnp.where(pad[None, :, None], 0, xg)
+    else:
+        _, idx = jax.lax.top_k(pooled, k_keep)
+        idx = jnp.sort(idx)
+        xg = x.reshape(B, nb, G)[:, idx]                      # [B, k, G]
+    xpack = jnp.zeros((idx.shape[0], SUBLANES, LANES), x.dtype)
     xpack = xpack.at[:, :B, :G].set(jnp.swapaxes(xg, 0, 1))
     return idx.astype(jnp.int32), xpack
 
@@ -623,14 +636,15 @@ def _kernel_operands(ws):
 
 
 def project_many_batched(x, ws, block_size: int = 32,
-                         keep_frac: Optional[float] = None, layer=None):
+                         keep_frac: Optional[float] = None, layer=None,
+                         threshold=None):
     """Batched (B <= 8) block-sparse projections sharing one input batch.
     x: [B, K]; returns list of [B, N_w]."""
     B, K = x.shape
     G = _shared_group_size(ws, block_size, K)
     nb = K // G
     k_keep = max(1, min(nb, int(round(nb * (keep_frac if keep_frac else 0.625)))))
-    idx, xpack = select_groups_batched(x, G, k_keep)
+    idx, xpack = select_groups_batched(x, G, k_keep, threshold=threshold)
     raw, scales = _kernel_operands(ws)
     ys = block_gather_gemv_multi(idx, xpack, raw, G=G, k_keep=k_keep,
                                  out_dtype=jnp.float32, layer=layer,
@@ -643,14 +657,18 @@ def project_many_batched(x, ws, block_size: int = 32,
     return outs
 
 
-def batched_group_mask(x, G: int, k_keep: int):
+def batched_group_mask(x, G: int, k_keep: int, threshold=None):
     """Semantics twin of the batched selection: [B, K] keep mask."""
     B, K = x.shape
     nb = K // G
     scores = jnp.max(jnp.abs(x).reshape(B, nb, G), axis=-1)
     pooled = jnp.max(scores, axis=0)
-    _, idx = jax.lax.top_k(pooled, k_keep)
-    mask = jnp.zeros((nb,), bool).at[idx].set(True)
+    if threshold is not None:
+        surv = pooled > threshold
+        mask = surv & (jnp.cumsum(surv) <= k_keep)
+    else:
+        _, idx = jax.lax.top_k(pooled, k_keep)
+        mask = jnp.zeros((nb,), bool).at[idx].set(True)
     return jnp.repeat(mask, G)[None, :]
 
 

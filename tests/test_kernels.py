@@ -435,3 +435,31 @@ def test_int4_model_block_decode():
     got2, _ = llama.forward(q4p, tok, cache, 0, th, cfg=cfg, sp=sp2)
     assert np.isfinite(np.asarray(got2)).all()
     assert not np.allclose(np.asarray(got2), np.asarray(ref))
+
+
+def test_batched_threshold_selection_matches_twin():
+    """Batched (B<=8) threshold-mode selection: unified rule on the
+    batch-pooled score; kernel output == masked-dense twin."""
+    key = jax.random.PRNGKey(21)
+    kx, kw = jax.random.split(key)
+    B, K, N, G = 3, 256, 128, 16
+    x = jax.random.normal(kx, (B, K), jnp.float32)
+    w = jax.random.normal(kw, (K, N), jnp.float32)
+    nb = K // G
+    pooled = np.asarray(
+        jnp.max(jnp.abs(x).reshape(B, nb, G), axis=-1).max(axis=0))
+    for q, keep in ((0.3, 0.5), (0.7, 0.25), (0.5, 1.0)):
+        thr = float(np.quantile(pooled, q))
+        cap = max(1, min(nb, int(round(nb * keep))))
+        ys = block_gemv.project_many_batched(
+            x, [w], G, keep, threshold=jnp.float32(thr))
+        mask = np.asarray(block_gemv.batched_group_mask(
+            x, G, cap, threshold=jnp.float32(thr)))
+        ref = (np.asarray(x) * mask) @ np.asarray(w)
+        # ground truth: first cap pooled-survivors by index
+        surv = [i for i in range(nb) if pooled[i] > thr][:cap]
+        gt_mask = np.repeat(
+            np.array([i in set(surv) for i in range(nb)]), G)
+        np.testing.assert_array_equal(mask[0], gt_mask)
+        np.testing.assert_allclose(np.asarray(ys[0]), ref, rtol=1e-5,
+                                   atol=1e-4, err_msg=f"q={q} keep={keep}")
