@@ -217,6 +217,13 @@ class SparsityConfig:
     block_thresholding: bool = False
     # Unstructured "gather" mode capacity fraction (exact-semantics kernel).
     gather_cap_frac: float = 0.625
+    # Fused decode attention (ops/decode_attention.py): single-token
+    # attention reads the layer-stacked KV cache in-kernel instead of
+    # slicing the 2 MB layer slab out of the scan carry and writing it
+    # back every layer. None = auto (on for single-device TPU decode with
+    # head_dim 128); True forces it (tests under interpret mode); False
+    # disables. Orthogonal to `enabled` — it also speeds dense decode.
+    fused_decode_attention: Optional[bool] = None
 
     def replace(self, **kw) -> "SparsityConfig":
         return dataclasses.replace(self, **kw)

@@ -160,6 +160,42 @@ def _can_flash_prefill(s: int, head_dim: int, sliding_window) -> bool:
     )
 
 
+def _update_stacked_cache(c_all, new, i, pos):
+    """Current-token write into the [L, B, H, T, D] stacked cache at
+    (i, b, :, pos[b], :): a 16 KB dynamic-update (b == 1) or scatter
+    (b > 1) instead of slicing the whole layer slab out of the scan carry
+    and writing it back (2 MB each way at 7B/256 — the copy churn the
+    fused decode-attention path exists to avoid)."""
+    new = new.astype(c_all.dtype)
+    if new.shape[0] == 1:
+        return jax.lax.dynamic_update_slice(
+            c_all, new[None], (i, 0, 0, pos[0], 0)
+        )
+    upd = jax.vmap(
+        lambda c, n, p: jax.lax.dynamic_update_slice(c, n[None], (i, 0, p, 0)),
+        in_axes=(1, 0, 0), out_axes=1,
+    )
+    return upd(c_all, new, pos)
+
+
+def _can_fused_decode(s: int, b: int, cfg: ModelConfig, max_seq: int,
+                      sp: SparsityConfig) -> bool:
+    """Static gate for the fused decode-attention kernel
+    (ops/decode_attention.py): single-token decode, kernel-tileable
+    shapes. Auto mode (None) additionally requires a single non-CPU
+    device — under GSPMD/TP the cache is head-sharded and the Pallas call
+    must not be introduced silently."""
+    if sp.fused_decode_attention is False:
+        return False
+    ok = (s == 1 and b <= 8 and cfg.head_dim == 128 and max_seq % 8 == 0
+          and cfg.n_heads % cfg.n_kv_heads == 0)
+    if not ok:
+        return False
+    if sp.fused_decode_attention:
+        return True
+    return jax.default_backend() != "cpu" and jax.device_count() == 1
+
+
 def _attention(q, k, v, pos, q_len: int, max_seq: int,
                sliding_window: Optional[int]):
     """Grouped-query attention over the full static cache.
@@ -198,8 +234,17 @@ def _attention(q, k, v, pos, q_len: int, max_seq: int,
 def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
                   cfg: ModelConfig, sp: SparsityConfig, thresholds,
                   capture: bool = False, stacked=None, layer_idx=None,
-                  causal_prefill: bool = False):
-    """One transformer block. h: [B, S, D]; kc/vc: [B, Hkv, T, Dh].
+                  causal_prefill: bool = False, stacked_cache: bool = False,
+                  seq_axis: Optional[str] = None):
+    """One transformer block. h: [B, S, D]; kc/vc: [B, Hkv, T, Dh] — or,
+    with `stacked_cache=True` (fused decode attention), the full
+    [L, B, Hkv, T, Dh] stacked caches (requires `layer_idx`).
+
+    `seq_axis`: sequence-parallel prefill (parallel/sp.py) — h holds this
+    device's contiguous chunk of the prompt and `pos` its global chunk
+    start; K/V chunks are all-gathered over the axis and the full block
+    written to the (replicated) cache, while local queries attend
+    causally against it.
 
     thresholds: [7] per-projection scalars (order `config.PROJS`).
     `stacked`/`layer_idx`: the UN-sliced layer-stacked weight dict plus
@@ -281,29 +326,52 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
         v = _proj(x, lp["wv"], t["v"], sp, proj="v")
 
     q = q.reshape(b, s, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    hkv_local = kc.shape[1]
+    hkv_local = kc.shape[2] if stacked_cache else kc.shape[1]
     k = k.reshape(b, s, hkv_local, cfg.head_dim).transpose(0, 2, 1, 3)
     v = v.reshape(b, s, hkv_local, cfg.head_dim).transpose(0, 2, 1, 3)
 
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    upd = jax.vmap(
-        lambda c, new, p: jax.lax.dynamic_update_slice(c, new, (0, p, 0))
-    )
-    kc = upd(kc, k.astype(kc.dtype), pos)
-    vc = upd(vc, v.astype(vc.dtype), pos)
+    if stacked_cache:
+        # fused decode attention: kc/vc are the FULL [L, B, H, T, D]
+        # stacked caches — write the current token in place and let the
+        # kernel stream layer `layer_idx`'s slab straight from HBM (no
+        # per-layer slice-out/write-back copies in the scan body)
+        from teal_tpu.ops.decode_attention import decode_attention
 
-    if (causal_prefill and s > 1
-            and _can_flash_prefill(s, cfg.head_dim, cfg.sliding_window)):
-        # pos==0 full-prompt prefill: fused flash kernel over the fresh
-        # k/v (identical to masked attention over the zero-initialized
-        # cache — invalid slots past S are masked out either way)
-        attn = _flash_prefill_attention(q, k.astype(kc.dtype),
-                                        v.astype(vc.dtype))
+        kc = _update_stacked_cache(kc, k, layer_idx, pos)
+        vc = _update_stacked_cache(vc, v, layer_idx, pos)
+        attn = decode_attention(q, kc, vc, layer_idx, pos,
+                                window=cfg.sliding_window)
     else:
-        attn = _attention(q, kc, vc, pos, s, kc.shape[2],
-                          cfg.sliding_window)
+        upd = jax.vmap(
+            lambda c, new, p: jax.lax.dynamic_update_slice(c, new, (0, p, 0))
+        )
+        if seq_axis is not None:
+            # sequence-parallel prefill: gather every device's K/V chunk
+            # (S-dim concat over the mesh axis) and write the full block
+            # at the prompt base position — the cache stays replicated
+            # while activations/queries remain S-sharded
+            base = pos - jax.lax.axis_index(seq_axis) * s
+            kc = upd(kc, jax.lax.all_gather(
+                k, seq_axis, axis=2, tiled=True).astype(kc.dtype), base)
+            vc = upd(vc, jax.lax.all_gather(
+                v, seq_axis, axis=2, tiled=True).astype(vc.dtype), base)
+        else:
+            kc = upd(kc, k.astype(kc.dtype), pos)
+            vc = upd(vc, v.astype(vc.dtype), pos)
+
+        if (causal_prefill and s > 1 and seq_axis is None
+                and _can_flash_prefill(s, cfg.head_dim, cfg.sliding_window)):
+            # pos==0 full-prompt prefill: fused flash kernel over the fresh
+            # k/v (identical to masked attention over the zero-initialized
+            # cache — invalid slots past S are masked out either way)
+            attn = _flash_prefill_attention(q, k.astype(kc.dtype),
+                                            v.astype(vc.dtype))
+        else:
+            attn = _attention(q, kc, vc, pos, s, kc.shape[2],
+                              cfg.sliding_window)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1)      # attn h2
     if use_block:
         (o_out,) = blockproj(attn, ["wo"], kf[3], bt("o"))
@@ -367,7 +435,8 @@ def _layer_params_at(params, i):
 
 def forward(params, tokens, cache: KVCache, pos, thresholds, *,
             cfg: ModelConfig, sp: SparsityConfig,
-            return_hidden: bool = False, causal_prefill: bool = False):
+            return_hidden: bool = False, causal_prefill: bool = False,
+            seq_axis: Optional[str] = None):
     """Full forward. tokens: [B, S] int32; pos: scalar start position
     shared by the batch, or [B] per-sequence positions (continuous
     batching: each slot decodes at its own depth).
@@ -386,18 +455,28 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
     cos = cos_full[positions]
     sin = sin_full[positions]
 
+    fused_attn = _can_fused_decode(s, b, cfg, cache.max_seq, sp)
+
     def body(carry, xs):
         h, kc_all, vc_all = carry
         i, thresh_l = xs
         # lazy per-layer slices: XLA fuses them into dense consumers and
         # DCEs the ones the block path replaces with stacked access
         lp = jax.tree.map(lambda a: a[i], params["layers"])
+        if fused_attn:
+            # stacked-cache decode: the fused attention kernel reads
+            # layer i's slab in place — no slice-out/write-back copies
+            h, kc_all, vc_all, _ = layer_forward(
+                h, lp, kc_all, vc_all, pos, cos, sin, cfg, sp, thresh_l,
+                stacked=params["layers"], layer_idx=i, stacked_cache=True,
+            )
+            return (h, kc_all, vc_all), None
         kc = kc_all[i]
         vc = vc_all[i]
         h, kc, vc, _ = layer_forward(
             h, lp, kc, vc, pos, cos, sin, cfg, sp, thresh_l,
             stacked=params["layers"], layer_idx=i,
-            causal_prefill=causal_prefill,
+            causal_prefill=causal_prefill, seq_axis=seq_axis,
         )
         kc_all = jax.lax.dynamic_update_slice_in_dim(
             kc_all, kc[None], i, axis=0

@@ -463,3 +463,54 @@ def test_batched_threshold_selection_matches_twin():
         np.testing.assert_array_equal(mask[0], gt_mask)
         np.testing.assert_allclose(np.asarray(ys[0]), ref, rtol=1e-5,
                                    atol=1e-4, err_msg=f"q={q} keep={keep}")
+
+
+def test_decode_attention_matches_reference():
+    """Fused decode-attention kernel == _attention on the sliced cache,
+    across MHA/GQA, batch sizes, positions, and sliding window."""
+    from teal_tpu.models import llama
+    from teal_tpu.ops.decode_attention import decode_attention
+
+    key = jax.random.PRNGKey(3)
+    L, T, D = 3, 64, 128
+    for B, Hq, Hkv, window in ((1, 4, 4, None), (3, 8, 2, None),
+                               (2, 4, 4, 16)):
+        key, kq, kk, kv, kp = jax.random.split(key, 5)
+        q = jax.random.normal(kq, (B, Hq, 1, D), jnp.float32)
+        kc = jax.random.normal(kk, (L, B, Hkv, T, D), jnp.float32)
+        vc = jax.random.normal(kv, (L, B, Hkv, T, D), jnp.float32)
+        pos = jax.random.randint(kp, (B,), 0, T)
+        for li in (0, L - 1):
+            got = decode_attention(q, kc, vc, li, pos, window=window)
+            ref = llama._attention(q, kc[li], vc[li], pos, 1, T, window)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=f"B={B} Hkv={Hkv} li={li}")
+
+
+def test_fused_decode_model_equivalence():
+    """forward() with fused_decode_attention on == off (dense decode)."""
+    from teal_tpu.config import ModelConfig
+    from teal_tpu.models import llama
+
+    cfg = ModelConfig(name="hd128", vocab_size=64, n_layers=2, n_heads=2,
+                      n_kv_heads=1, dim=256, intermediate_size=288,
+                      max_seq_len=32)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    th = llama.zero_thresholds(cfg)
+    tok = jnp.array([[5], [9]], jnp.int32)
+    pos = jnp.array([3, 7], jnp.int32)
+    cache = llama.KVCache.init(cfg, 2, 32, jnp.float32)
+    k0 = jax.random.normal(jax.random.PRNGKey(1), cache.k.shape, jnp.float32)
+    cache = llama.KVCache(k=k0, v=k0 * 0.5)
+
+    sp_off = SparsityConfig(fused_decode_attention=False)
+    sp_on = SparsityConfig(fused_decode_attention=True)
+    ref, cref = llama.forward(params, tok, cache, pos, th, cfg=cfg, sp=sp_off)
+    got, cgot = llama.forward(params, tok, cache, pos, th, cfg=cfg, sp=sp_on)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cgot.k), np.asarray(cref.k),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cgot.v), np.asarray(cref.v),
+                               rtol=1e-5, atol=1e-6)
