@@ -76,11 +76,13 @@ def decode_tps(cfg, params, sp, max_seq: int, n_short: int, n_long: int,
     """tokens/s from slope timing of an on-device greedy decode scan."""
     from teal_tpu.models import llama
     from teal_tpu.models.llama import KVCache
+    from teal_tpu.utils.bench_utils import decode_compiler_options
 
     dtype = llama.compute_dtype(params)
 
     def make(n):
-        @functools.partial(jax.jit, donate_argnums=(1,))
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           compiler_options=decode_compiler_options())
         def run(params, cache, token, thresholds):
             def body(carry, pos):
                 token, cache = carry

@@ -114,12 +114,20 @@ class Generator:
             )
             return toks, cache
 
-        # Donate the cache so decode updates in place.
+        # Donate the cache so decode updates in place. Decode compile
+        # options are an env-gated experiment knob (TEAL_TPU_NO_MSA=1
+        # disables XLA's MSA VMEM pass — utils/compile_opts.py records
+        # the measured matrix; default None).
+        from teal_tpu.utils.compile_opts import decode_compiler_options
+
+        copts = decode_compiler_options()
         self._prefill = jax.jit(prefill_fn, donate_argnums=(1,),
                                 static_argnums=(6,))
-        self._decode = jax.jit(decode_fn, donate_argnums=(1,))
+        self._decode = jax.jit(decode_fn, donate_argnums=(1,),
+                               compiler_options=copts)
         self._decode_scan = jax.jit(decode_scan_fn, donate_argnums=(1,),
-                                    static_argnums=(6,))
+                                    static_argnums=(6,),
+                                    compiler_options=copts)
 
     def new_cache(self) -> KVCache:
         return KVCache.init(self.cfg, self.batch, self.max_seq,

@@ -160,31 +160,18 @@ def _can_flash_prefill(s: int, head_dim: int, sliding_window) -> bool:
     )
 
 
-def _update_stacked_cache(c_all, new, i, pos):
-    """Current-token write into the [L, B, H, T, D] stacked cache at
-    (i, b, :, pos[b], :): a 16 KB dynamic-update (b == 1) or scatter
-    (b > 1) instead of slicing the whole layer slab out of the scan carry
-    and writing it back (2 MB each way at 7B/256 — the copy churn the
-    fused decode-attention path exists to avoid)."""
-    new = new.astype(c_all.dtype)
-    if new.shape[0] == 1:
-        return jax.lax.dynamic_update_slice(
-            c_all, new[None], (i, 0, 0, pos[0], 0)
-        )
-    upd = jax.vmap(
-        lambda c, n, p: jax.lax.dynamic_update_slice(c, n[None], (i, 0, p, 0)),
-        in_axes=(1, 0, 0), out_axes=1,
-    )
-    return upd(c_all, new, pos)
-
-
 def _can_fused_decode(s: int, b: int, cfg: ModelConfig, max_seq: int,
-                      sp: SparsityConfig) -> bool:
+                      sp: SparsityConfig, block_path: bool) -> bool:
     """Static gate for the fused decode-attention kernel
     (ops/decode_attention.py): single-token decode, kernel-tileable
     shapes. Auto mode (None) additionally requires a single non-CPU
     device — under GSPMD/TP the cache is head-sharded and the Pallas call
-    must not be introduced silently."""
+    must not be introduced silently — AND the block-kernel projection
+    path (sparse or packed-int4): in the dense-XLA program, XLA's MSA
+    pass promotes the whole KV cache to VMEM around the attention custom
+    call and round-trips it per layer (measured 53.6 -> 40.7 tok/s on
+    7B); the block-kernel programs don't hit the pathology and the fused
+    path is their best measured config (95.05 vs 94.66 tok/s at 50%)."""
     if sp.fused_decode_attention is False:
         return False
     ok = (s == 1 and b <= 8 and cfg.head_dim == 128 and max_seq % 8 == 0
@@ -193,7 +180,8 @@ def _can_fused_decode(s: int, b: int, cfg: ModelConfig, max_seq: int,
         return False
     if sp.fused_decode_attention:
         return True
-    return jax.default_backend() != "cpu" and jax.device_count() == 1
+    return (block_path and jax.default_backend() != "cpu"
+            and jax.device_count() == 1)
 
 
 def _attention(q, k, v, pos, q_len: int, max_seq: int,
@@ -335,15 +323,16 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
 
     if stacked_cache:
         # fused decode attention: kc/vc are the FULL [L, B, H, T, D]
-        # stacked caches — write the current token in place and let the
-        # kernel stream layer `layer_idx`'s slab straight from HBM (no
-        # per-layer slice-out/write-back copies in the scan body)
+        # stacked caches — the kernel writes the current token in place
+        # (aliased input->output) and streams layer `layer_idx`'s slab
+        # straight from HBM. No XLA update/copy ever touches the cache:
+        # a host-side dynamic_update_slice here makes XLA's memory-space
+        # assignment round-trip the whole cache through VMEM per layer
+        # (see ops/decode_attention.py module docstring).
         from teal_tpu.ops.decode_attention import decode_attention
 
-        kc = _update_stacked_cache(kc, k, layer_idx, pos)
-        vc = _update_stacked_cache(vc, v, layer_idx, pos)
-        attn = decode_attention(q, kc, vc, layer_idx, pos,
-                                window=cfg.sliding_window)
+        attn, kc, vc = decode_attention(q, k, v, kc, vc, layer_idx, pos,
+                                        window=cfg.sliding_window)
     else:
         upd = jax.vmap(
             lambda c, new, p: jax.lax.dynamic_update_slice(c, new, (0, p, 0))
@@ -455,7 +444,10 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
     cos = cos_full[positions]
     sin = sin_full[positions]
 
-    fused_attn = _can_fused_decode(s, b, cfg, cache.max_seq, sp)
+    block_path = (sp.enabled and sp.kernel == "block") or (
+        isinstance(params["layers"]["wq"], dict)
+        and "qp" in params["layers"]["wq"])
+    fused_attn = _can_fused_decode(s, b, cfg, cache.max_seq, sp, block_path)
 
     def body(carry, xs):
         h, kc_all, vc_all = carry

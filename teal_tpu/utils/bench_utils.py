@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from teal_tpu.utils.compile_opts import decode_compiler_options  # noqa: F401 (re-export)
+
 
 def sync(tree):
     """Reliable execution barrier: host-fetch (device_get) of the tree.

@@ -466,7 +466,8 @@ def test_batched_threshold_selection_matches_twin():
 
 
 def test_decode_attention_matches_reference():
-    """Fused decode-attention kernel == _attention on the sliced cache,
+    """Fused decode-attention kernel (in-place aliased cache write +
+    attention) == dynamic_update_slice + _attention on the sliced cache,
     across MHA/GQA, batch sizes, positions, and sliding window."""
     from teal_tpu.models import llama
     from teal_tpu.ops.decode_attention import decode_attention
@@ -475,17 +476,30 @@ def test_decode_attention_matches_reference():
     L, T, D = 3, 64, 128
     for B, Hq, Hkv, window in ((1, 4, 4, None), (3, 8, 2, None),
                                (2, 4, 4, 16)):
-        key, kq, kk, kv, kp = jax.random.split(key, 5)
+        key, kq, kk, kv, kp, kn = jax.random.split(key, 6)
         q = jax.random.normal(kq, (B, Hq, 1, D), jnp.float32)
         kc = jax.random.normal(kk, (L, B, Hkv, T, D), jnp.float32)
         vc = jax.random.normal(kv, (L, B, Hkv, T, D), jnp.float32)
+        k_new = jax.random.normal(kn, (B, Hkv, 1, D), jnp.float32)
+        v_new = k_new * 0.7 + 0.1
         pos = jax.random.randint(kp, (B,), 0, T)
         for li in (0, L - 1):
-            got = decode_attention(q, kc, vc, li, pos, window=window)
-            ref = llama._attention(q, kc[li], vc[li], pos, 1, T, window)
+            # reference: write current token, then masked attention
+            upd = jax.vmap(lambda c, n, p: jax.lax.dynamic_update_slice(
+                c, n, (0, p, 0)))
+            kc_ref = kc.at[li].set(upd(kc[li], k_new, pos))
+            vc_ref = vc.at[li].set(upd(vc[li], v_new, pos))
+            got, kc_out, vc_out = decode_attention(
+                q, k_new, v_new, kc, vc, li, pos, window=window)
+            ref = llama._attention(q, kc_ref[li], vc_ref[li], pos, 1, T,
+                                   window)
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                        rtol=1e-5, atol=1e-5,
                                        err_msg=f"B={B} Hkv={Hkv} li={li}")
+            np.testing.assert_array_equal(np.asarray(kc_out),
+                                          np.asarray(kc_ref))
+            np.testing.assert_array_equal(np.asarray(vc_out),
+                                          np.asarray(vc_ref))
 
 
 def test_fused_decode_model_equivalence():
