@@ -9,9 +9,17 @@ thresholds on), and `ops.gptq` does the column-wise compensation. Output is
 an int4 param pytree (`{"q","scale","zero"}` dicts) that runs through the
 model's int4 dense path.
 
-Propagation uses the unquantized layer outputs as the next layer's input
-(one-shot GPTQ; the reference's sequential variant can be layered on by
-re-running the captured forward with quantized weights).
+Propagation is block-sequential by default, matching the reference's
+propagation granularity: after layer l's projections are quantized, the
+layer's output is recomputed with the DEQUANTIZED weights, so layer l+1
+calibrates on the activations it will actually see at inference
+(accumulated quantization error included — `gpt-fast/GPTQ.py` runs each
+traced module on the quantized prefix). Within a block, the seven
+projections calibrate on the full-precision block's intermediates (the
+cross-layer error accumulation dominates; intra-block sub-sequencing is
+a further refinement the reference's traced ordering provides).
+`sequential=False` restores the cheaper one-shot variant (one forward
+per layer instead of two; all layers see full-precision activations).
 """
 
 from __future__ import annotations
@@ -51,16 +59,27 @@ def gptq_quantize_model(
     *,
     group: int = 128,
     percdamp: float = 0.01,
+    sequential: bool = True,
     progress: bool = False,
 ) -> Dict:
-    """Returns a params pytree with the seven projections as int4 dicts."""
+    """Returns a params pytree with the seven projections as int4 dicts.
+
+    sequential: propagate each layer's output through the QUANTIZED
+    weights (reference behavior — downstream layers calibrate on the
+    activations inference will produce). False = one-shot (full-precision
+    propagation; one forward per layer instead of two).
+    """
+    from teal_tpu.ops.quant import Int4Weight, dequantize_int4
+
     tokens = jnp.asarray(tokens, jnp.int32)
-    hidden = params["embed"][tokens].astype(params["layers"]["wq"].dtype)
+    dtype = params["layers"]["wq"].dtype
+    hidden = params["embed"][tokens].astype(dtype)
 
     per_layer: Dict[str, list] = {k: [] for k in _PROJ_INPUT}
     for l in range(cfg.n_layers):
         lp = jax.tree.map(lambda a: a[l], params["layers"])
         h_out, caps = _layer_capture(lp, hidden, cfg)
+        lq = dict(lp)
         for name, (module, htype) in _PROJ_INPUT.items():
             w = np.asarray(lp[name], np.float32)
             x = np.asarray(caps[module][htype], np.float32).reshape(
@@ -72,6 +91,16 @@ def gptq_quantize_model(
                 {"q": np.asarray(wq.q), "scale": np.asarray(wq.scale),
                  "zero": np.asarray(wq.zero)}
             )
+            if sequential:
+                lq[name] = dequantize_int4(
+                    Int4Weight(q=wq.q, scale=wq.scale, zero=wq.zero,
+                               group=g),
+                    dtype,
+                )
+        if sequential:
+            # re-run the layer on the quantized weights so the next
+            # layer's Hessian sees the accumulated quantization error
+            h_out, _ = _layer_capture(lq, hidden, cfg)
         hidden = h_out
         if progress:
             print(f"gptq layer {l}/{cfg.n_layers}", flush=True)

@@ -466,7 +466,7 @@ def cmd_quantize(args):
         tokens = np.asarray(ids)[: (n // seq) * seq].reshape(-1, seq)
         qparams = gptq_quantize_model(
             params, cfg, tokens, group=args.group_size,
-            progress=True,
+            sequential=not args.one_shot, progress=True,
         )
     else:
         raise SystemExit(f"unknown quantize mode {args.mode!r}")
@@ -612,6 +612,11 @@ def main(argv=None):
                    help="int4 quantization group size along the input dim")
     q.add_argument("--calib-tokens", type=int, default=4096,
                    help="GPTQ calibration token count")
+    q.add_argument("--one-shot", action="store_true",
+                   help="GPTQ: calibrate every layer on the full-"
+                        "precision activations instead of the default "
+                        "sequential propagation through the quantized "
+                        "prefix (faster, slightly less accurate)")
     q.add_argument("--text-file", default=None)
     q.add_argument("--dataset", default=None)
     q.set_defaults(fn=cmd_quantize)

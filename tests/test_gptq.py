@@ -111,3 +111,31 @@ def test_gptq_pack_roundtrip_through_gather_kernel(problem):
                                            keep_frac=1.0)
     ref = np.asarray(xv) @ wd
     np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-3, atol=1e-2)
+
+
+def test_gptq_sequential_propagation_semantics():
+    """Sequential (default) vs one-shot GPTQ: layer 0 calibrates on
+    identical inputs either way; deeper layers see the quantized
+    prefix's activations only in sequential mode (reference propagation,
+    gpt-fast GPTQ.py runs each module on the quantized prefix)."""
+    import jax
+    import jax.numpy as jnp
+
+    from teal_tpu.config import get_model_config
+    from teal_tpu.calibration.gptq_runner import gptq_quantize_model
+    from teal_tpu.models import llama
+
+    cfg = get_model_config("tiny")
+    params = llama.init_params(cfg, jax.random.PRNGKey(2), jnp.float32)
+    toks = np.random.default_rng(1).integers(0, cfg.vocab_size, (1, 32))
+    seq = gptq_quantize_model(params, cfg, toks, group=32, sequential=True)
+    one = gptq_quantize_model(params, cfg, toks, group=32, sequential=False)
+
+    q_seq = np.asarray(seq["layers"]["wq"]["q"])
+    q_one = np.asarray(one["layers"]["wq"]["q"])
+    np.testing.assert_array_equal(q_seq[0], q_one[0])
+    assert any(
+        not np.array_equal(np.asarray(seq["layers"][n]["q"])[1:],
+                           np.asarray(one["layers"][n]["q"])[1:])
+        for n in ("wq", "wk", "wv", "wo", "wgate", "wup", "wdown")
+    ), "sequential propagation changed no downstream quantization"
