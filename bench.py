@@ -53,13 +53,64 @@ def _fast_init(cfg, dtype):
     return jax.jit(lambda: jax.tree.map(fill, shapes))()
 
 
-def build(model_name: str, max_seq: int, dtype, random_init: bool = False):
+def _fast_init_int8(cfg, dtype):
+    """Weight-only int8 projections built DIRECTLY (no bf16 intermediate:
+    llama-3-8b's bf16 weights alone exceed one 16 GB chip)."""
+    from teal_tpu.models import llama
+
+    shapes = jax.eval_shape(
+        lambda: llama.init_params(cfg, jax.random.PRNGKey(0), dtype)
+    )
+    projs = ("wq", "wk", "wv", "wo", "wgate", "wup", "wdown")
+
+    def fill_int8(shape):
+        n = int(np.prod(shape))
+
+        @jax.jit
+        def build():
+            q = (jnp.arange(n, dtype=jnp.uint32)
+                 * jnp.uint32(2654435761) >> 24).astype(jnp.int8)
+            return q.reshape(shape)
+
+        return build()
+
+    def fill(s):
+        n = 1
+        for d in s.shape:
+            n *= d
+        flat = jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761)
+        vals = (flat >> 16).astype(jnp.float32) / 65536.0 - 0.5
+        return (vals * 0.04).astype(s.dtype).reshape(s.shape)
+
+    layers = {}
+    for k, s in shapes["layers"].items():
+        if k in projs:
+            layers[k] = {"q": fill_int8(s.shape),
+                         "scale": jnp.full(s.shape[:1] + s.shape[2:3],
+                                           1e-3, jnp.float32)}
+        else:
+            layers[k] = fill(s)
+    lmh = shapes["lm_head"]
+    return {
+        "embed": fill(shapes["embed"]),
+        "layers": layers,
+        "final_norm": fill(shapes["final_norm"]),
+        # reference quantizes the output head too (quantize.py:312-317)
+        "lm_head": {"q": fill_int8(lmh.shape),
+                    "scale": jnp.full(lmh.shape[1:], 1e-3, jnp.float32)},
+    }
+
+
+def build(model_name: str, max_seq: int, dtype, random_init: bool = False,
+          weights: str = "bf16"):
     from teal_tpu.config import get_model_config
     from teal_tpu.models import llama
 
     cfg = get_model_config(model_name)
     t0 = time.time()
-    if random_init:
+    if weights == "int8":
+        params = _fast_init_int8(cfg, dtype)
+    elif random_init:
         params = jax.jit(
             functools.partial(llama.init_params, cfg, dtype=dtype)
         )(jax.random.PRNGKey(0))
@@ -194,6 +245,10 @@ def main():
                     help="also bench 40%%/75%% sparsity and int8 variants")
     ap.add_argument("--batch", type=int, default=1,
                     help="decode batch size (sparse block mode supports <=8)")
+    ap.add_argument("--weights", default="bf16", choices=["bf16", "int8"],
+                    help="int8 = weight-only-quantized projections (e.g. "
+                         "llama-3-8b, whose bf16 weights exceed one 16 GB "
+                         "chip; the driver target is 8B @ 50% >= 1.5x)")
     ap.add_argument("--thresholded", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="in-kernel threshold selection (the production "
@@ -213,10 +268,11 @@ def main():
     dtype = jnp.bfloat16
 
     cfg, params = build(args.model, args.max_seq, dtype,
-                        random_init=args.random_init)
+                        random_init=args.random_init, weights=args.weights)
+    bytes_per_w = 1 if args.weights == "int8" else 2
     model_gb = sum(
         cfg.proj_params(p) for p in ("q", "k", "v", "o", "gate", "up", "down")
-    ) * cfg.n_layers * 2 / 1e9
+    ) * cfg.n_layers * bytes_per_w / 1e9
 
     dense_sp = SparsityConfig(enabled=False)
     tps_dense = decode_tps(cfg, params, dense_sp, args.max_seq,
@@ -265,13 +321,16 @@ def main():
             v = old_layers.pop(k)
             new_layers[k] = as_int8(k, v)
             del v
+        from teal_tpu.ops.quant import quantize_int8
+
+        head = quantize_int8(params["lm_head"])
         qparams = {
             "embed": params["embed"],
             "final_norm": params["final_norm"],
-            "lm_head": params["lm_head"],
+            "lm_head": {"q": head.q, "scale": head.scale},
             "layers": new_layers,
         }
-        del params, old_layers
+        del params, old_layers, head
         tps_q = decode_tps(cfg, qparams, dense_sp, args.max_seq,
                            n_short, n_long)
         log(f"int8 dense: {tps_q:.2f} tok/s")
@@ -324,8 +383,10 @@ def main():
             f"({tps_q4s / tps_q4d:.2f}x vs int4 dense)")
 
     speedup = tps_sparse / tps_dense
+    wtag = "" if args.weights == "bf16" else f"_{args.weights}"
     print(json.dumps({
-        "metric": f"sparse_decode_speedup_{int(args.sparsity*100)}pct_{args.model}",
+        "metric": f"sparse_decode_speedup_{int(args.sparsity*100)}pct_"
+                  f"{args.model}{wtag}",
         "value": round(speedup, 4),
         "unit": "x_vs_dense",
         "vs_baseline": round(speedup / 1.8, 4),

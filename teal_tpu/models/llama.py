@@ -486,9 +486,23 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
     h = rms_norm(h, params["final_norm"], cfg.norm_eps)
     if return_hidden:
         return h, KVCache(kc, vc)
-    logits = jnp.matmul(
-        h, params["lm_head"], preferred_element_type=jnp.float32
-    )
+    lmh = params["lm_head"]
+    if isinstance(lmh, dict):
+        # quantized output head (reference quantizes every nn.Linear
+        # incl. self.output, quantize.py:312-317); XLA fuses the dequant
+        # into the matmul's operand read
+        from teal_tpu.ops import quant
+
+        if "zero" in lmh:        # int4 groupwise affine
+            w = quant.dequantize_int4_dict(lmh, h.dtype)
+            logits = jnp.matmul(h, w, preferred_element_type=jnp.float32)
+        else:                    # int8 per-channel
+            logits = jnp.matmul(
+                h, lmh["q"].astype(h.dtype),
+                preferred_element_type=jnp.float32,
+            ) * lmh["scale"]
+    else:
+        logits = jnp.matmul(h, lmh, preferred_element_type=jnp.float32)
     return logits, KVCache(kc, vc)
 
 

@@ -253,11 +253,15 @@ _QUANT_KEYS = ("wq", "wk", "wv", "wo", "wgate", "wup", "wdown")
 
 
 def quantize_params_int8(params) -> Dict:
-    """Quantize the seven projection stacks to int8 (per layer, per
-    channel). Returns a params pytree where each projection leaf becomes
-    {"q": int8 [L,K,N], "scale": f32 [L,N]}; norms/embeddings stay as-is
-    (reference also leaves them unquantized)."""
+    """Quantize the seven projection stacks AND lm_head to int8 (per
+    layer, per channel). Each projection leaf becomes {"q": int8 [L,K,N],
+    "scale": f32 [L,N]}; lm_head becomes {"q": int8 [D,V], "scale": [V]}
+    (the reference's replace walks every nn.Linear incl. the output
+    head, quantize.py:312-317; at Llama-3's 128k vocab the bf16 head
+    alone reads 1 GB/token). Norms/embeddings stay as-is."""
     out = {k: v for k, v in params.items() if k != "layers"}
+    head = quantize_int8(out["lm_head"])
+    out["lm_head"] = {"q": head.q, "scale": head.scale}
     layers = {}
     for name, stack in params["layers"].items():
         if name in _QUANT_KEYS:
@@ -280,8 +284,14 @@ def quantize_params_int4(params, group: int = 128) -> Dict:
     becomes {"q": int8 [L,K,N] holding [-8,7], "scale": [L,K//g,N],
     "zero": [L,K//g,N]}; the group size is clamped per projection to
     divide its input dim (reference pads instead, quantize.py:426-428 —
-    clamping preserves exact shapes for the scan)."""
+    clamping preserves exact shapes for the scan). lm_head is quantized
+    like the projections (the reference replaces every nn.Linear)."""
     out = {k: v for k, v in params.items() if k != "layers"}
+    gh = group
+    while out["lm_head"].shape[0] % gh:
+        gh //= 2
+    head = quantize_int4(out["lm_head"], group=gh)
+    out["lm_head"] = {"q": head.q, "scale": head.scale, "zero": head.zero}
     layers = {}
     for name, stack in params["layers"].items():
         if name in _QUANT_KEYS:

@@ -157,3 +157,27 @@ def test_quantize_cli_roundtrip(tmp_path):
                                   llama.zero_thresholds(cfg), cfg=cfg,
                                   sp=SparsityConfig())
         assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_quantized_lm_head():
+    """quantize_params_int8/int4 quantize the output head like every
+    other linear (reference replace walks self.output too,
+    quantize.py:312-317) and forward dispatches on the dict."""
+    cfg = get_model_config("tiny")
+    params = llama.init_params(cfg, jax.random.PRNGKey(3), jnp.float32)
+    tokens = jnp.array([[5, 1, 7]], jnp.int32)
+    sp = SparsityConfig()
+    ref, _ = llama.forward(params, tokens,
+                           KVCache.init(cfg, 1, 8, jnp.float32), 0,
+                           llama.zero_thresholds(cfg), cfg=cfg, sp=sp)
+    for quantize, bound in ((quant.quantize_params_int8, 0.1),
+                            (quant.quantize_params_int4, 0.3)):
+        qparams = quantize(params)
+        assert isinstance(qparams["lm_head"], dict), quantize.__name__
+        assert qparams["lm_head"]["q"].dtype == jnp.int8
+        got, _ = llama.forward(qparams, tokens,
+                               KVCache.init(cfg, 1, 8, jnp.bfloat16), 0,
+                               llama.zero_thresholds(cfg), cfg=cfg, sp=sp)
+        assert got.dtype == jnp.float32
+        rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+        assert rel < bound, (quantize.__name__, rel)
