@@ -101,22 +101,97 @@ def _fast_init_int8(cfg, dtype):
     }
 
 
+def _fast_init_int4(cfg, dtype, block_size: int):
+    """Nibble-packed int4 projections built directly (13B fits one 16 GB
+    chip at ~6.7 GB; decode always routes through the gather kernel —
+    the XLA unpack path rematerializes bf16 weights every token).
+    lm_head stays int8 (its dequant fuses into the XLA matmul)."""
+    from teal_tpu.models import llama
+    from teal_tpu.ops import quant as _quant
+
+    shapes = jax.eval_shape(
+        lambda: llama.init_params(cfg, jax.random.PRNGKey(0), dtype)
+    )
+    projs = ("wq", "wk", "wv", "wo", "wgate", "wup", "wdown")
+
+    def fill(s):
+        n = int(np.prod(s.shape))
+        flat = jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761)
+        vals = (flat >> 16).astype(jnp.float32) / 65536.0 - 0.5
+        return (vals * 0.04).astype(s.dtype).reshape(s.shape)
+
+    def fill_int4(shape):
+        L, K, N = shape
+        G = _quant.int4_gather_group(block_size, K)
+        nb = K // G
+
+        @jax.jit
+        def build_qp():
+            q = (jnp.arange(L * (K // 2) * N, dtype=jnp.uint32)
+                 * jnp.uint32(2654435761) >> 24).astype(jnp.int8)
+            return q.reshape(L, K // 2, N)
+
+        sz = jnp.concatenate([
+            jnp.full((L, nb, 1, N), 1e-3, jnp.float32),
+            jnp.full((L, nb, 1, N), -8e-3, jnp.float32),
+        ], axis=2)
+        return {"qp": build_qp(), "sz": sz}
+
+    def fill_int8(shape):
+        n = int(np.prod(shape))
+
+        @jax.jit
+        def build():
+            return ((jnp.arange(n, dtype=jnp.uint32)
+                     * jnp.uint32(2654435761) >> 24)
+                    .astype(jnp.int8).reshape(shape))
+
+        return build()
+
+    layers = {}
+    for k, s in shapes["layers"].items():
+        layers[k] = fill_int4(s.shape) if k in projs else fill(s)
+    lmh = shapes["lm_head"]
+    return {
+        "embed": fill(shapes["embed"]),
+        "layers": layers,
+        "final_norm": fill(shapes["final_norm"]),
+        "lm_head": {"q": fill_int8(lmh.shape),
+                    "scale": jnp.full(lmh.shape[1:], 1e-3, jnp.float32)},
+    }
+
+
 def build(model_name: str, max_seq: int, dtype, random_init: bool = False,
-          weights: str = "bf16"):
+          weights: str = "bf16", block_size: int = 64):
     from teal_tpu.config import get_model_config
     from teal_tpu.models import llama
 
     cfg = get_model_config(model_name)
     t0 = time.time()
-    if weights == "int8":
-        params = _fast_init_int8(cfg, dtype)
-    elif random_init:
-        params = jax.jit(
-            functools.partial(llama.init_params, cfg, dtype=dtype)
-        )(jax.random.PRNGKey(0))
-    else:
-        params = _fast_init(cfg, dtype)
-    jax.device_get(jax.tree.map(lambda a: a.ravel()[0], params))
+    # the tunnel runtime reclaims a just-exited process's chip memory
+    # lazily: a bench started right after another one can transiently
+    # see a near-full 16 GB chip — retry instead of dying
+    for attempt in range(4):
+        try:
+            if weights == "int8":
+                params = _fast_init_int8(cfg, dtype)
+            elif weights == "int4":
+                params = _fast_init_int4(cfg, dtype, block_size)
+            elif random_init:
+                params = jax.jit(
+                    functools.partial(llama.init_params, cfg, dtype=dtype)
+                )(jax.random.PRNGKey(0))
+            else:
+                params = _fast_init(cfg, dtype)
+            jax.device_get(jax.tree.map(lambda a: a.ravel()[0], params))
+            break
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 3:
+                raise
+            params = None   # drop any partially built tree
+            log(f"chip memory not yet reclaimed (attempt {attempt + 1}); "
+                "waiting 90 s")
+            time.sleep(90)
     log(f"params built in {time.time()-t0:.1f}s "
         f"({sum(a.size*a.dtype.itemsize for a in jax.tree.leaves(params))/1e9:.2f} GB)")
     return cfg, params
@@ -210,15 +285,44 @@ def kernel_numerics_check(tol: float = 2e-2):
 
     reft = jnp.matmul(sparsify_groups(x, G, 0.625, threshold=thr), w,
                       preferred_element_type=jnp.float32)
-    for name, got, want in (("topk", y, ref), ("thresh", yt, reft)):
+    # fused decode attention: multi-chunk online-softmax path (T spans
+    # two CHUNK=256 windows; in-place current-token write checked too)
+    from teal_tpu.models import llama
+    from teal_tpu.ops import decode_attention as da
+
+    B, Hq, Hkv, T, D, L, p = 1, 4, 2, 512, 128, 2, 300
+    q = fill_like((B, Hq, 1, D), 11)
+    kc = fill_like((L, B, Hkv, T, D), 13).astype(jnp.bfloat16)
+    vc = fill_like((L, B, Hkv, T, D), 17).astype(jnp.bfloat16)
+    kn = fill_like((B, Hkv, 1, D), 19)
+    vn = fill_like((B, Hkv, 1, D), 23)
+    pos = jnp.full((B,), p, jnp.int32)
+    upd = jax.vmap(lambda c, n, pp: jax.lax.dynamic_update_slice(
+        c, n.astype(c.dtype), (0, pp, 0)))
+    kc_ref = kc.at[0].set(upd(kc[0], kn, pos))
+    vc_ref = vc.at[0].set(upd(vc[0], vn, pos))
+    attn, kc_out, _ = da.decode_attention(q, kn, vn, kc, vc, 0, pos)
+    attn_ref = llama._attention(q, kc_ref[0], vc_ref[0], pos, 1, T, None)
+    cache_ok = bool(jnp.all(kc_out == kc_ref))
+
+    # decode-attn tolerance: the comparison's error is dominated by the
+    # XLA einsum reference itself (bf16 MXU operand rounding of scores,
+    # amplified through softmax) — the kernel computes scores in fp32 on
+    # the VPU; exact-semantics tests run in interpret mode in CI.
+    # Measured 1.94e-2 on chip at T=512.
+    for name, got, want, tl in (("topk", y, ref, tol),
+                                ("thresh", yt, reft, tol),
+                                ("decode-attn", attn, attn_ref, 5e-2)):
         g = np.asarray(got, np.float32).reshape(-1)
         r = np.asarray(want, np.float32).reshape(-1)
         rel = np.linalg.norm(g - r) / (np.linalg.norm(r) + 1e-30)
-        if not rel < tol:
+        if not rel < tl:
             raise AssertionError(
                 f"on-chip kernel numerics ({name}): rel err {rel:.3e} "
-                f">= {tol}")
+                f">= {tl}")
         log(f"kernel numerics [{name}]: rel err {rel:.2e} ok")
+    if not cache_ok:
+        raise AssertionError("decode-attn in-place cache write mismatch")
 
 
 def fill_like(shape, seed):
@@ -245,10 +349,11 @@ def main():
                     help="also bench 40%%/75%% sparsity and int8 variants")
     ap.add_argument("--batch", type=int, default=1,
                     help="decode batch size (sparse block mode supports <=8)")
-    ap.add_argument("--weights", default="bf16", choices=["bf16", "int8"],
+    ap.add_argument("--weights", default="bf16",
+                    choices=["bf16", "int8", "int4"],
                     help="int8 = weight-only-quantized projections (e.g. "
                          "llama-3-8b, whose bf16 weights exceed one 16 GB "
-                         "chip; the driver target is 8B @ 50% >= 1.5x)")
+                         "chip; the driver target is 8B @ 50%% >= 1.5x)")
     ap.add_argument("--thresholded", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="in-kernel threshold selection (the production "
@@ -268,8 +373,9 @@ def main():
     dtype = jnp.bfloat16
 
     cfg, params = build(args.model, args.max_seq, dtype,
-                        random_init=args.random_init, weights=args.weights)
-    bytes_per_w = 1 if args.weights == "int8" else 2
+                        random_init=args.random_init, weights=args.weights,
+                        block_size=args.block_size)
+    bytes_per_w = {"bf16": 2, "int8": 1, "int4": 0.5}[args.weights]
     model_gb = sum(
         cfg.proj_params(p) for p in ("q", "k", "v", "o", "gate", "up", "down")
     ) * cfg.n_layers * bytes_per_w / 1e9

@@ -9,10 +9,16 @@ modules own their cache slices in place, `gpt-fast/model.py:79-106`).
 
 This kernel is the TPU answer: the *stacked* cache stays in HBM
 (`pl.ANY`) and is ALIASED input->output (`input_output_aliases`), the
-scalar-prefetched layer index selects the slab, and one DMA per
-(batch, k/v) streams exactly the bytes attention must read. Scores,
-masking, softmax and the PV reduction all run on the VPU over the
-VMEM-resident slab — the [T] score vector never round-trips to HBM.
+scalar-prefetched layer index selects the slab, and double-buffered
+chunk DMAs stream ONLY the rows attention can see: the chunk loop runs
+from the window start to the chunk containing `pos`, so decode attention
+cost is proportional to the actual context, not to max_seq (XLA's
+einsum attention — and the reference's sdpa — always reads the full
+static cache). Scores, online-softmax accumulation and the PV reduction
+run on the VPU; the [T] score vector never round-trips to HBM. When one
+chunk covers the whole cache (T <= 256), a statically selected one-shot
+body skips the online-accumulation state and its fix-up loop entirely —
+short-cache decode pays zero chunking overhead.
 
 Keeping the cache update inside the aliased kernel matters beyond
 elegance: expressed as an XLA `dynamic_update_slice` feeding a custom
@@ -26,9 +32,11 @@ The in-place write itself must respect Mosaic's DMA tiling: a length-1
 slice of the T (sublane) dim is unlowerable (bf16 needs multiples of 2,
 fp32 of 8), so the kernel reads the aligned 8-row tile containing `pos`,
 merges the new K/V row on the VPU, and writes the tile back. Attention
-is computed from the PRE-update slab plus an exact in-compute fix-up
-term for the current token (whose K/V are already in VMEM), so the
-tile write never serializes the big slab read.
+is computed from the PRE-update slab plus an exact online fix-up term
+for the current token (whose K/V are already in VMEM), so the tile
+write never serializes the chunk reads, and any read/write interleaving
+on that tile is harmless (the only differing row, `pos`, is masked out
+of the slab scores).
 
 Semantics match `models.llama._attention` exactly: positions t with
 t <= pos[b] are valid (optionally windowed; the current token is always
@@ -46,32 +54,34 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-ROWTILE = 8  # aligned T-dim tile for the in-place current-token write
+ROWTILE = 8    # aligned T-dim tile for the in-place current-token write
+CHUNK = 256    # T-dim rows per attention DMA (double-buffered)
 
 
 def _decode_attn_kernel(layer_ref, pos_ref, q_ref, kn_ref, vn_ref,
                         kc_in, vc_in, o_ref, kc_ref, vc_ref, *,
-                        B: int, Hkv: int, G: int, T: int, D: int,
+                        B: int, Hkv: int, G: int, T: int, D: int, C: int,
                         window: Optional[int], scale: float):
     """q: [B*Hq, 1, D] VMEM; kn/vn: [B*Hkv, 1, D] VMEM current-token K/V;
     kc/vc: [L, B, Hkv, T, D] ANY, in aliased to out; o_ref: [B*Hq, 1, D]
-    fp32 VMEM."""
+    fp32 VMEM. C divides T."""
     del kc_in, vc_in  # aliased: kc_ref/vc_ref are the same buffers
     R = ROWTILE
+    Hq = Hkv * G
+    neg = jnp.float32(-1e30)
 
-    def body(kbuf, vbuf, kpb, vpb, sem, psem, wsem):
+    def oneshot_body(kb, vb, kpb, vpb, sem, psem, wsem):
+        """Static single-chunk case (C == T): one slab DMA + one-pass
+        softmax per head — no online-accumulation state or fix-up loop."""
         li = layer_ref[0]
 
         def bloop(b, _):
             pos_b = pos_ref[b]
             eb = (pos_b // R) * R
-            # big slab reads (PRE-update contents — row pos is excluded
-            # from the masked scores and fixed up from VMEM instead)
-            ck = pltpu.make_async_copy(kc_ref.at[li, b], kbuf, sem.at[0])
-            cv = pltpu.make_async_copy(vc_ref.at[li, b], vbuf, sem.at[1])
+            ck = pltpu.make_async_copy(kc_ref.at[li, b], kb, sem.at[0, 0])
+            cv = pltpu.make_async_copy(vc_ref.at[li, b], vb, sem.at[0, 1])
             ck.start()
             cv.start()
-            # aligned 8-row tile containing pos: read, merge, write back
             pk = pltpu.make_async_copy(
                 kc_ref.at[li, b, :, pl.ds(eb, R)], kpb, psem.at[0])
             pv = pltpu.make_async_copy(
@@ -92,24 +102,23 @@ def _decode_attn_kernel(layer_ref, pos_ref, q_ref, kn_ref, vn_ref,
                 vpb, vc_ref.at[li, b, :, pl.ds(eb, R)], wsem.at[1])
             wk.start()
             wv.start()
-            # (the tile write only changes row pos, which the slab reads
-            # below never consume — any interleaving is harmless)
+            # (the tile write only changes row pos, which the slab scores
+            # below mask out — any interleaving is harmless)
 
             tpos = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
             valid = tpos < pos_b            # current token handled apart
             if window is not None:
                 valid &= tpos > pos_b - window
-            neg = jnp.float32(-1e30)
             ck.wait()
             cv.wait()
 
             def hloop(hh, _):
-                k = kbuf[hh].astype(jnp.float32)          # [T, D]
-                v = vbuf[hh].astype(jnp.float32)
+                k = kb[hh].astype(jnp.float32)            # [T, D]
+                v = vb[hh].astype(jnp.float32)
                 kn = kn_ref[b * Hkv + hh].astype(jnp.float32)   # [1, D]
                 vn = vn_ref[b * Hkv + hh].astype(jnp.float32)
                 for g in range(G):
-                    qi = b * (Hkv * G) + hh * G + g
+                    qi = b * Hq + hh * G + g
                     qv = q_ref[qi].astype(jnp.float32)    # [1, D]
                     s = jnp.sum(k * qv, axis=1, keepdims=True) * scale
                     s = jnp.where(valid, s, neg)          # [T, 1]
@@ -130,16 +139,154 @@ def _decode_attn_kernel(layer_ref, pos_ref, q_ref, kn_ref, vn_ref,
 
         jax.lax.fori_loop(0, B, bloop, ())
 
-    pl.run_scoped(
-        body,
-        pltpu.VMEM((Hkv, T, D), kc_ref.dtype),
-        pltpu.VMEM((Hkv, T, D), vc_ref.dtype),
-        pltpu.VMEM((Hkv, ROWTILE, D), kc_ref.dtype),
-        pltpu.VMEM((Hkv, ROWTILE, D), vc_ref.dtype),
-        pltpu.SemaphoreType.DMA((2,)),
-        pltpu.SemaphoreType.DMA((2,)),
-        pltpu.SemaphoreType.DMA((2,)),
-    )
+    def body(kb, vb, kpb, vpb, m_ref, d_ref, a_ref, sem, psem, wsem):
+        li = layer_ref[0]
+
+        def start_chunk(b, ci, slot):
+            # slot buffers are flattened to [2*Hkv, C, D] so every
+            # dynamic index in the kernel is on a single leading dim
+            ck = pltpu.make_async_copy(
+                kc_ref.at[li, b, :, pl.ds(ci * C, C)],
+                kb.at[pl.ds(slot * Hkv, Hkv)], sem.at[slot, 0])
+            cv = pltpu.make_async_copy(
+                vc_ref.at[li, b, :, pl.ds(ci * C, C)],
+                vb.at[pl.ds(slot * Hkv, Hkv)], sem.at[slot, 1])
+            ck.start()
+            cv.start()
+
+        def wait_chunk(slot):
+            buf = pl.ds(slot * Hkv, Hkv)
+            pltpu.make_async_copy(kb.at[buf], kb.at[buf],
+                                  sem.at[slot, 0]).wait()
+            pltpu.make_async_copy(vb.at[buf], vb.at[buf],
+                                  sem.at[slot, 1]).wait()
+
+        def bloop(b, _):
+            pos_b = pos_ref[b]
+            # --- in-place current-token write: aligned 8-row tile ---
+            eb = (pos_b // R) * R
+            pk = pltpu.make_async_copy(
+                kc_ref.at[li, b, :, pl.ds(eb, R)], kpb, psem.at[0])
+            pv = pltpu.make_async_copy(
+                vc_ref.at[li, b, :, pl.ds(eb, R)], vpb, psem.at[1])
+            pk.start()
+            pv.start()
+            # --- chunk range: [lo, hi) covers the visible window ---
+            if window is None:
+                lo = jnp.int32(0)
+            else:
+                lo = jnp.maximum(pos_b - window + 1, 0) // C
+            hi = pos_b // C + 1
+            start_chunk(b, lo, lo % 2)
+            # online-softmax state for this b's heads
+            m_ref[...] = jnp.full_like(m_ref, neg)
+            d_ref[...] = jnp.zeros_like(d_ref)
+            a_ref[...] = jnp.zeros_like(a_ref)
+
+            knb = kn_ref[pl.ds(b * Hkv, Hkv)]      # [Hkv, 1, D]
+            vnb = vn_ref[pl.ds(b * Hkv, Hkv)]
+            pk.wait()
+            pv.wait()
+            row = jax.lax.broadcasted_iota(
+                jnp.int32, (Hkv, R, D), 1) == (pos_b - eb)
+            kpb[...] = jnp.where(row, knb.astype(kpb.dtype), kpb[...])
+            vpb[...] = jnp.where(row, vnb.astype(vpb.dtype), vpb[...])
+            wk = pltpu.make_async_copy(
+                kpb, kc_ref.at[li, b, :, pl.ds(eb, R)], wsem.at[0])
+            wv = pltpu.make_async_copy(
+                vpb, vc_ref.at[li, b, :, pl.ds(eb, R)], wsem.at[1])
+            wk.start()
+            wv.start()
+
+            def cloop(ci, _):
+                slot = jax.lax.rem(ci, 2)
+                wait_chunk(slot)
+
+                @pl.when(ci + 1 < hi)
+                def _():
+                    start_chunk(b, ci + 1, jax.lax.rem(ci + 1, 2))
+
+                tpos = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+                        + ci * C)
+                valid = tpos < pos_b        # current token handled apart
+                if window is not None:
+                    valid &= tpos > pos_b - window
+
+                def hloop(hh, _):
+                    k = kb[slot * Hkv + hh].astype(jnp.float32)   # [C, D]
+                    v = vb[slot * Hkv + hh].astype(jnp.float32)
+                    for g in range(G):
+                        hq = hh * G + g
+                        qv = q_ref[b * Hq + hq].astype(jnp.float32)
+                        s = jnp.sum(k * qv, axis=1, keepdims=True) * scale
+                        s = jnp.where(valid, s, neg)          # [C, 1]
+                        m_old = m_ref[hq]                     # [1, LANES]
+                        m_new = jnp.maximum(m_old, jnp.max(s))
+                        ms = jnp.max(m_new)                   # scalar
+                        e = jnp.where(valid, jnp.exp(s - ms), 0.0)
+                        corr = jnp.exp(m_old - m_new)
+                        d_ref[hq] = d_ref[hq] * corr + jnp.sum(e)
+                        a_ref[hq] = a_ref[hq] * corr[:, :1] + jnp.sum(
+                            v * e, axis=0, keepdims=True)
+                        m_ref[hq] = m_new
+                    return ()
+
+                jax.lax.fori_loop(0, Hkv, hloop, ())
+                return ()
+
+            jax.lax.fori_loop(lo, hi, cloop, ())
+
+            # --- exact current-token fix-up + final normalization ---
+            def hfin(hh, _):
+                kn = kn_ref[b * Hkv + hh].astype(jnp.float32)   # [1, D]
+                vn = vn_ref[b * Hkv + hh].astype(jnp.float32)
+                for g in range(G):
+                    hq = hh * G + g
+                    qi = b * Hq + hq
+                    qv = q_ref[qi].astype(jnp.float32)
+                    sc = jnp.sum(kn * qv) * scale               # scalar
+                    m_old = m_ref[hq]
+                    m_fin = jnp.maximum(m_old, sc)
+                    corr = jnp.exp(m_old - m_fin)
+                    ec = jnp.exp(sc - jnp.max(m_fin))
+                    den = d_ref[hq] * corr + ec                 # [1, LANES]
+                    o_ref[qi] = (
+                        a_ref[hq] * corr[:, :1] + ec * vn
+                    ) * (1.0 / den[:, :1])
+                return ()
+
+            jax.lax.fori_loop(0, Hkv, hfin, ())
+            wk.wait()
+            wv.wait()
+            return ()
+
+        jax.lax.fori_loop(0, B, bloop, ())
+
+    if C == T:
+        pl.run_scoped(
+            oneshot_body,
+            pltpu.VMEM((Hkv, T, D), kc_ref.dtype),
+            pltpu.VMEM((Hkv, T, D), vc_ref.dtype),
+            pltpu.VMEM((Hkv, ROWTILE, D), kc_ref.dtype),
+            pltpu.VMEM((Hkv, ROWTILE, D), vc_ref.dtype),
+            pltpu.SemaphoreType.DMA((1, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        )
+    else:
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((2 * Hkv, C, D), kc_ref.dtype),
+            pltpu.VMEM((2 * Hkv, C, D), vc_ref.dtype),
+            pltpu.VMEM((Hkv, ROWTILE, D), kc_ref.dtype),
+            pltpu.VMEM((Hkv, ROWTILE, D), vc_ref.dtype),
+            pltpu.VMEM((Hq, 1, LANES), jnp.float32),   # running max
+            pltpu.VMEM((Hq, 1, LANES), jnp.float32),   # running denominator
+            pltpu.VMEM((Hq, 1, D), jnp.float32),       # running PV accumulator
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        )
 
 
 def decode_attention(q, k_new, v_new, kc_all, vc_all, layer, pos, *,
@@ -171,6 +318,7 @@ def _decode_attention(q, k_new, v_new, kc_all, vc_all, layer, pos, *,
     assert k_new.shape == v_new.shape == (B, Hkv, 1, D), k_new.shape
     assert Hq % Hkv == 0 and D == LANES and T % ROWTILE == 0
     G = Hq // Hkv
+    C = CHUNK if T % CHUNK == 0 else T
     qf = q.reshape(B * Hq, 1, D)
     kn = k_new.astype(kc_all.dtype).reshape(B * Hkv, 1, D)
     vn = v_new.astype(vc_all.dtype).reshape(B * Hkv, 1, D)
@@ -178,8 +326,8 @@ def _decode_attention(q, k_new, v_new, kc_all, vc_all, layer, pos, *,
     pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
 
     kernel = functools.partial(
-        _decode_attn_kernel, B=B, Hkv=Hkv, G=G, T=T, D=D, window=window,
-        scale=1.0 / (D ** 0.5),
+        _decode_attn_kernel, B=B, Hkv=Hkv, G=G, T=T, D=D, C=C,
+        window=window, scale=1.0 / (D ** 0.5),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # layer, pos

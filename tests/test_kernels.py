@@ -528,3 +528,43 @@ def test_fused_decode_model_equivalence():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(cgot.v), np.asarray(cref.v),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_decode_attention_multi_chunk():
+    """Chunked online-softmax path: several chunks, positions on and off
+    chunk boundaries, sliding window skipping leading chunks."""
+    from teal_tpu.models import llama
+    from teal_tpu.ops import decode_attention as da
+
+    old = da.CHUNK
+    da.CHUNK = 16
+    try:
+        key = jax.random.PRNGKey(11)
+        L, T, D = 2, 48, 128   # 3 chunks of 16
+        for B, Hq, Hkv, window, positions in (
+                (1, 2, 2, None, (0, 15, 16, 17, 31, 47)),
+                (2, 4, 2, 20, (19, 40)),
+        ):
+            for p in positions:
+                key, kq, kk, kv, kn = jax.random.split(key, 5)
+                q = jax.random.normal(kq, (B, Hq, 1, D), jnp.float32)
+                kc = jax.random.normal(kk, (L, B, Hkv, T, D), jnp.float32)
+                vc = jax.random.normal(kv, (L, B, Hkv, T, D), jnp.float32)
+                k_new = jax.random.normal(kn, (B, Hkv, 1, D), jnp.float32)
+                v_new = k_new * 0.3 - 0.2
+                pos = jnp.full((B,), p, jnp.int32)
+                upd = jax.vmap(lambda c, n, pp: jax.lax.dynamic_update_slice(
+                    c, n, (0, pp, 0)))
+                kc_ref = kc.at[0].set(upd(kc[0], k_new, pos))
+                vc_ref = vc.at[0].set(upd(vc[0], v_new, pos))
+                got, kc_out, vc_out = da.decode_attention(
+                    q, k_new, v_new, kc, vc, 0, pos, window=window)
+                ref = llama._attention(q, kc_ref[0], vc_ref[0], pos, 1, T,
+                                       window)
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5,
+                    err_msg=f"B={B} Hkv={Hkv} pos={p} window={window}")
+                np.testing.assert_array_equal(np.asarray(kc_out),
+                                              np.asarray(kc_ref))
+    finally:
+        da.CHUNK = old
