@@ -123,7 +123,7 @@ def main():
             x, _ = synth_acts(rng, P, K, noise, s_het, sigma=sigma)
             perm = np.argsort(-np.abs(x_cal).mean(0), kind="stable")
             for s in (0.4, 0.5):
-                for G in (32, 64):
+                for G in (32, 64, 128):
                     for rule, use_perm in (
                         ("teal", False),
                         ("group-topk", False),

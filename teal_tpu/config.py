@@ -224,6 +224,13 @@ class SparsityConfig:
     # head_dim 128); True forces it (tests under interpret mode); False
     # disables. Orthogonal to `enabled` — it also speeds dense decode.
     fused_decode_attention: Optional[bool] = None
+    # Fused attention block (ops/attn_block.py): norm + selection + QKV
+    # gather + RoPE + cache write + attention in ONE kernel launch for
+    # batch-1 threshold-mode decode. None = auto (on whenever the fused
+    # decode attention path and the norm fold are both active and the
+    # q/k/v weights are bf16/int4 with equal capacities); False disables
+    # (falls back to the two-kernel path).
+    fused_attn_block: Optional[bool] = None
 
     def replace(self, **kw) -> "SparsityConfig":
         return dataclasses.replace(self, **kw)

@@ -223,7 +223,7 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
                   cfg: ModelConfig, sp: SparsityConfig, thresholds,
                   capture: bool = False, stacked=None, layer_idx=None,
                   causal_prefill: bool = False, stacked_cache: bool = False,
-                  seq_axis: Optional[str] = None):
+                  seq_axis: Optional[str] = None, packed_norms=None):
     """One transformer block. h: [B, S, D]; kc/vc: [B, Hkv, T, Dh] — or,
     with `stacked_cache=True` (fused decode attention), the full
     [L, B, Hkv, T, Dh] stacked caches (requires `layer_idx`).
@@ -273,8 +273,15 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
 
     li = layer_idx if stacked is not None else None
 
+    # rms_norm fold: in threshold mode the norm runs inside the fused
+    # select+gather kernel (packed gains built once per forward call) —
+    # the two per-layer XLA norm dispatches disappear from the scan body
+    fold = (use_block and b == 1 and sparse_block and sp.block_thresholding
+            and not capture and packed_norms is not None)
+
     # --- attention ---
-    x = rms_norm(h, lp["attn_norm"], cfg.norm_eps)          # attn h1
+    # attn h1 (normalized in-kernel when folded; capture never folds)
+    x = None if fold else rms_norm(h, lp["attn_norm"], cfg.norm_eps)
     if sparse_block:
         kf = sp.block_keep_fracs or (sp.block_keep_frac,) * 7
     else:
@@ -285,14 +292,15 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
         batched decode applies it to the batch-pooled group score)."""
         return t[name] if (sparse_block and sp.block_thresholding) else None
 
-    def blockproj(inp, names, frac, thr):
+    def blockproj(inp, names, frac, thr, norm3=None):
         """Block-sparse projections for 1 <= b <= 8 single-token inputs."""
         from teal_tpu.ops import block_gemv
 
         ws = [stacked_w(n) for n in names]
         if b == 1:
             return block_gemv.project_many(
-                inp, ws, sp.block_size, frac, layer=li, threshold=thr
+                inp, ws, sp.block_size, frac, layer=li, threshold=thr,
+                norm3=norm3, norm_eps=cfg.norm_eps,
             )
         outs = block_gemv.project_many_batched(
             inp.reshape(b, inp.shape[-1]), ws, sp.block_size, frac,
@@ -300,7 +308,38 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
         )
         return [o.reshape(b, 1, -1) for o in outs]
 
-    if use_block:
+    # fused attention block (ops/attn_block.py): norm + select + QKV
+    # gather + RoPE + cache write + attention in ONE launch — q/k/v never
+    # exist as XLA values. Falls back to the two-kernel path otherwise.
+    mega = (fold and stacked_cache and kf[0] == kf[1] == kf[2]
+            and cfg.head_dim == 128
+            and not (isinstance(lp["wq"], dict) and "q" in lp["wq"])
+            and sp.fused_attn_block is not False)
+    if mega:
+        from teal_tpu.ops import attn_block as _ab
+        from teal_tpu.ops import block_gemv as _bg
+
+        ws = [stacked_w(n) for n in ("wq", "wk", "wv")]
+        K = h.shape[-1]
+        Gq = _bg._shared_group_size(ws, sp.block_size, K)
+        nbq = K // Gq
+        capq = max(1, min(nbq, int(round(nbq * kf[0]))))
+        attn, kc, vc = _ab.attn_block(
+            _bg.pack_x3(h.reshape(1, K), Gq), bt("q"), ws,
+            cos[0, 0], sin[0, 0], kc, vc, li, pos,
+            G=Gq, cap=capq, n_heads=cfg.n_heads,
+            norm3=packed_norms["attn"], norm_eps=cfg.norm_eps,
+            window=cfg.sliding_window,
+        )
+    elif fold:
+        n3 = packed_norms["attn"]
+        if kf[0] == kf[1] == kf[2]:
+            q, k, v = blockproj(h, ["wq", "wk", "wv"], kf[0], bt("q"), n3)
+        else:
+            (q,) = blockproj(h, ["wq"], kf[0], bt("q"), n3)
+            (k,) = blockproj(h, ["wk"], kf[1], bt("k"), n3)
+            (v,) = blockproj(h, ["wv"], kf[2], bt("v"), n3)
+    elif use_block:
         if kf[0] == kf[1] == kf[2]:
             q, k, v = blockproj(x, ["wq", "wk", "wv"], kf[0], bt("q"))
         else:
@@ -313,54 +352,58 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
         k = _proj(x, lp["wk"], t["k"], sp, proj="k")
         v = _proj(x, lp["wv"], t["v"], sp, proj="v")
 
-    q = q.reshape(b, s, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    hkv_local = kc.shape[2] if stacked_cache else kc.shape[1]
-    k = k.reshape(b, s, hkv_local, cfg.head_dim).transpose(0, 2, 1, 3)
-    v = v.reshape(b, s, hkv_local, cfg.head_dim).transpose(0, 2, 1, 3)
+    if not mega:   # mega computed attn/kc/vc inside the fused block kernel
+        q = q.reshape(b, s, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        hkv_local = kc.shape[2] if stacked_cache else kc.shape[1]
+        k = k.reshape(b, s, hkv_local, cfg.head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s, hkv_local, cfg.head_dim).transpose(0, 2, 1, 3)
 
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
 
-    if stacked_cache:
-        # fused decode attention: kc/vc are the FULL [L, B, H, T, D]
-        # stacked caches — the kernel writes the current token in place
-        # (aliased input->output) and streams layer `layer_idx`'s slab
-        # straight from HBM. No XLA update/copy ever touches the cache:
-        # a host-side dynamic_update_slice here makes XLA's memory-space
-        # assignment round-trip the whole cache through VMEM per layer
-        # (see ops/decode_attention.py module docstring).
-        from teal_tpu.ops.decode_attention import decode_attention
+        if stacked_cache:
+            # fused decode attention: kc/vc are the FULL [L, B, H, T, D]
+            # stacked caches — the kernel writes the current token in place
+            # (aliased input->output) and streams layer `layer_idx`'s slab
+            # straight from HBM. No XLA update/copy ever touches the cache:
+            # a host-side dynamic_update_slice here makes XLA's memory-space
+            # assignment round-trip the whole cache through VMEM per layer
+            # (see ops/decode_attention.py module docstring).
+            from teal_tpu.ops.decode_attention import decode_attention
 
-        attn, kc, vc = decode_attention(q, k, v, kc, vc, layer_idx, pos,
-                                        window=cfg.sliding_window)
-    else:
-        upd = jax.vmap(
-            lambda c, new, p: jax.lax.dynamic_update_slice(c, new, (0, p, 0))
-        )
-        if seq_axis is not None:
-            # sequence-parallel prefill: gather every device's K/V chunk
-            # (S-dim concat over the mesh axis) and write the full block
-            # at the prompt base position — the cache stays replicated
-            # while activations/queries remain S-sharded
-            base = pos - jax.lax.axis_index(seq_axis) * s
-            kc = upd(kc, jax.lax.all_gather(
-                k, seq_axis, axis=2, tiled=True).astype(kc.dtype), base)
-            vc = upd(vc, jax.lax.all_gather(
-                v, seq_axis, axis=2, tiled=True).astype(vc.dtype), base)
+            attn, kc, vc = decode_attention(q, k, v, kc, vc, layer_idx, pos,
+                                            window=cfg.sliding_window)
         else:
-            kc = upd(kc, k.astype(kc.dtype), pos)
-            vc = upd(vc, v.astype(vc.dtype), pos)
+            upd = jax.vmap(
+                lambda c, new, p: jax.lax.dynamic_update_slice(
+                    c, new, (0, p, 0))
+            )
+            if seq_axis is not None:
+                # sequence-parallel prefill: gather every device's K/V chunk
+                # (S-dim concat over the mesh axis) and write the full block
+                # at the prompt base position — the cache stays replicated
+                # while activations/queries remain S-sharded
+                base = pos - jax.lax.axis_index(seq_axis) * s
+                kc = upd(kc, jax.lax.all_gather(
+                    k, seq_axis, axis=2, tiled=True).astype(kc.dtype), base)
+                vc = upd(vc, jax.lax.all_gather(
+                    v, seq_axis, axis=2, tiled=True).astype(vc.dtype), base)
+            else:
+                kc = upd(kc, k.astype(kc.dtype), pos)
+                vc = upd(vc, v.astype(vc.dtype), pos)
 
-        if (causal_prefill and s > 1 and seq_axis is None
-                and _can_flash_prefill(s, cfg.head_dim, cfg.sliding_window)):
-            # pos==0 full-prompt prefill: fused flash kernel over the fresh
-            # k/v (identical to masked attention over the zero-initialized
-            # cache — invalid slots past S are masked out either way)
-            attn = _flash_prefill_attention(q, k.astype(kc.dtype),
-                                            v.astype(vc.dtype))
-        else:
-            attn = _attention(q, kc, vc, pos, s, kc.shape[2],
-                              cfg.sliding_window)
+            if (causal_prefill and s > 1 and seq_axis is None
+                    and _can_flash_prefill(s, cfg.head_dim,
+                                           cfg.sliding_window)):
+                # pos==0 full-prompt prefill: fused flash kernel over the
+                # fresh k/v (identical to masked attention over the
+                # zero-initialized cache — invalid slots past S are masked
+                # out either way)
+                attn = _flash_prefill_attention(q, k.astype(kc.dtype),
+                                                v.astype(vc.dtype))
+            else:
+                attn = _attention(q, kc, vc, pos, s, kc.shape[2],
+                                  cfg.sliding_window)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1)      # attn h2
     if use_block:
         (o_out,) = blockproj(attn, ["wo"], kf[3], bt("o"))
@@ -369,7 +412,9 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
         h = h + _proj(attn, lp["wo"], t["o"], sp, proj="o")
 
     # --- mlp ---
-    y = rms_norm(h, lp["mlp_norm"], cfg.norm_eps)            # mlp h1
+    # mlp h1 (MoE routing always needs the normalized tensor explicitly)
+    y = (None if (fold and cfg.n_experts == 0)
+         else rms_norm(h, lp["mlp_norm"], cfg.norm_eps))
     if cfg.n_experts > 0:
         # Mixtral MoE FFN (vanilla — not sparsity-integrated, matching the
         # reference's mixtral-moe engine; SURVEY §2.3)
@@ -385,7 +430,14 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
             caps = {"self_attn": {"h1": x, "h2": attn},
                     "mlp": {"h1": y}}
         return h, kc, vc, caps
-    if use_block:
+    if fold:
+        n3m = packed_norms["mlp"]
+        if kf[4] == kf[5]:
+            gate, up = blockproj(h, ["wgate", "wup"], kf[4], bt("gate"), n3m)
+        else:
+            (gate,) = blockproj(h, ["wgate"], kf[4], bt("gate"), n3m)
+            (up,) = blockproj(h, ["wup"], kf[5], bt("up"), n3m)
+    elif use_block:
         if kf[4] == kf[5]:
             gate, up = blockproj(y, ["wgate", "wup"], kf[4], bt("gate"))
         else:
@@ -449,6 +501,24 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
         and "qp" in params["layers"]["wq"])
     fused_attn = _can_fused_decode(s, b, cfg, cache.max_seq, sp, block_path)
 
+    # packed rms_norm gains for the in-kernel norm fold (threshold-mode
+    # block decode): built ONCE here, outside the layer scan
+    packed_norms = None
+    if (s == 1 and b == 1 and sp.enabled and sp.kernel == "block"
+            and sp.block_thresholding):
+        from teal_tpu.ops import block_gemv
+
+        lay = params["layers"]
+        g_attn = block_gemv._shared_group_size(
+            [lay["wq"], lay["wk"], lay["wv"]], sp.block_size, cfg.dim)
+        packed_norms = {
+            "attn": block_gemv.pack_norm3(lay["attn_norm"], g_attn)}
+        if cfg.n_experts == 0:
+            g_mlp = block_gemv._shared_group_size(
+                [lay["wgate"], lay["wup"]], sp.block_size, cfg.dim)
+            packed_norms["mlp"] = block_gemv.pack_norm3(
+                lay["mlp_norm"], g_mlp)
+
     def body(carry, xs):
         h, kc_all, vc_all = carry
         i, thresh_l = xs
@@ -461,6 +531,7 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
             h, kc_all, vc_all, _ = layer_forward(
                 h, lp, kc_all, vc_all, pos, cos, sin, cfg, sp, thresh_l,
                 stacked=params["layers"], layer_idx=i, stacked_cache=True,
+                packed_norms=packed_norms,
             )
             return (h, kc_all, vc_all), None
         kc = kc_all[i]
@@ -469,6 +540,7 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
             h, lp, kc, vc, pos, cos, sin, cfg, sp, thresh_l,
             stacked=params["layers"], layer_idx=i,
             causal_prefill=causal_prefill, seq_axis=seq_axis,
+            packed_norms=packed_norms,
         )
         kc_all = jax.lax.dynamic_update_slice_in_dim(
             kc_all, kc[None], i, axis=0

@@ -1,0 +1,415 @@
+"""Fused attention block: one Pallas launch from the raw residual stream
+to the attention output.
+
+The production decode path previously ran TWO kernels per attention
+block (threshold-select+QKV gather, then fused decode attention) with
+XLA glue between them: head reshape/transposes, fp32 RoPE, and the
+current-token K/V repack. Each XLA fusion between two Pallas calls is a
+serialization point — at 7B that glue is a measurable slice of the
+~1 ms/token launch-gap budget (docs/KERNEL_NOTES.md "End-to-end").
+
+This kernel runs the whole block in one launch:
+
+  1. in-kernel rms_norm of the raw residual stream (gain DMA overlapped
+     with the sum-of-squares reduction)
+  2. group-score threshold selection on the scalar core
+  3. pipelined gather of kept [G, N] slabs of wq/wk/wv (bf16 or packed
+     int4) with MXU accumulation — one shared selection, one launch
+  4. RoPE on the q/k heads, straight out of the fp32 accumulator
+     (static per-head lane slices of the [8, (Hq+2*Hkv)*D] accumulator —
+     head_dim == 128 == one lane tile, so every slice is tile-aligned)
+  5. the in-place current-token cache write + chunked online-softmax
+     attention of ops/decode_attention.py (the stacked cache stays in
+     HBM, aliased input->output)
+
+Nothing round-trips to HBM between those steps: q/k/v never exist as
+XLA values at decode time. The reference has no analog — its fused
+Triton kernel covers only the QKV GEMVs (`kernels/sparse_gemv.py:
+147-237`) and attention runs separately in sdpa (`gpt-fast/model.py:
+249`).
+
+Semantics match the two-kernel path exactly, except q/k stay fp32 from
+the accumulator through RoPE into the scores (the split path rounds
+projections to bf16 between kernels) — strictly tighter numerics.
+
+Restrictions (the dispatcher in models/llama.py falls back to the split
+path otherwise): batch 1, head_dim == 128, threshold selection mode,
+equal q/k/v capacities, bf16/fp32 or packed-int4 weights (int8's
+post-scale would have to ride an extra operand; not wired).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from teal_tpu.ops import decode_attention as _da
+from teal_tpu.ops.block_gemv import (LANES, _gather_loop, _norm_fold,
+                                     _plan_weights, _scoped_buffers,
+                                     _select_scan)
+from teal_tpu.ops.decode_attention import ROWTILE
+
+
+def _attn_block_kernel(thr_ref, layer_ref, pos_ref, x3_ref, cs_ref, *refs,
+                       G: int, plans, nb: int, cap: int, depth: int,
+                       norm: bool, norm_eps: float, Hq: int, Hkv: int,
+                       T: int, D: int, C: int, window: Optional[int],
+                       scale: float):
+    """cs_ref: [2, D] f32 (cos row 0 / sin row 1 at the current position);
+    o_ref: [Hq, 1, D] f32 attention output; caches aliased in->out."""
+    if norm:
+        norm_ref, refs = refs[0], refs[1:]
+    w_ref_groups, k = [], 0
+    for p in plans:
+        w_ref_groups.append(refs[k:k + p.n_dma])
+        k += p.n_dma
+    kc_in, vc_in, o_ref, kc_ref, vc_ref = refs[k:]
+    del kc_in, vc_in  # aliased: kc_ref/vc_ref are the same buffers
+    offs = [0]
+    for p in plans:
+        offs.append(offs[-1] + p.N)
+    R = ROWTILE
+    GH = Hq // Hkv
+    half = D // 2
+    neg = jnp.float32(-1e30)
+
+    def outer(qbuf, knbuf, vnbuf, scores_v, scores_s, idx_s, ssem, *rest):
+        # --- 1-2: (folded norm +) selection ---
+        if norm:
+            xn_ref, g_ref, gsem = rest
+            _norm_fold(x3_ref, norm_ref, xn_ref, g_ref, gsem, layer_ref,
+                       nb=nb, G=G, norm_eps=norm_eps)
+            x_ref = xn_ref
+        else:
+            x_ref = x3_ref
+        count = _select_scan(thr_ref[0], x_ref, scores_v, scores_s, idx_s,
+                             ssem, nb=nb, cap=cap)
+
+        # --- 3-4: gather qkv, then RoPE out of the accumulator ---
+        def gather(*scoped):
+            bufs, sems, acc = _unpack(scoped)
+            _gather_loop(plans, w_ref_groups, bufs, sems, layer_ref,
+                         x_ref, idx_s, count, acc, offs,
+                         G=G, cap=cap, depth=depth)
+            cos = cs_ref[0:1, :]                       # [1, D]
+            sin = cs_ref[1:2, :]
+
+            def rope(row):                             # [1, D] f32
+                rot = jnp.concatenate([-row[:, half:], row[:, :half]],
+                                      axis=1)
+                return row * cos + rot * sin
+
+            for h in range(Hq):       # static slices: D == one lane tile
+                qh = acc[0:1, offs[0] + h * D:offs[0] + (h + 1) * D]
+                qbuf[h] = rope(qh) * scale   # score scale folded into q
+            for h in range(Hkv):
+                kh = acc[0:1, offs[1] + h * D:offs[1] + (h + 1) * D]
+                knbuf[h] = rope(kh)
+                vnbuf[h] = acc[0:1, offs[2] + h * D:offs[2] + (h + 1) * D]
+
+        scope_args, _unpack = _scoped_buffers(plans, G, depth, offs[-1])
+        pl.run_scoped(gather, *scope_args)
+
+        # --- 5: in-place cache write + attention (B == 1) ---
+        pos_b = pos_ref[0]
+        eb = (pos_b // R) * R
+        li = layer_ref[0]
+
+        def write_tile(kpb, vpb, psem, wsem):
+            """Read the aligned 8-row tile containing pos, merge the new
+            K/V row on the VPU, write it back (returns the write copies to
+            wait on). Chunk reads below use PRE-update rows; row pos is
+            masked out of the slab scores and fixed up from VMEM."""
+            pk = pltpu.make_async_copy(
+                kc_ref.at[li, 0, :, pl.ds(eb, R)], kpb, psem.at[0])
+            pv = pltpu.make_async_copy(
+                vc_ref.at[li, 0, :, pl.ds(eb, R)], vpb, psem.at[1])
+            pk.start()
+            pv.start()
+            pk.wait()
+            pv.wait()
+            row = jax.lax.broadcasted_iota(
+                jnp.int32, (Hkv, R, D), 1) == (pos_b - eb)
+            kpb[...] = jnp.where(row, knbuf[...].astype(kpb.dtype),
+                                 kpb[...])
+            vpb[...] = jnp.where(row, vnbuf[...].astype(vpb.dtype),
+                                 vpb[...])
+            wk = pltpu.make_async_copy(
+                kpb, kc_ref.at[li, 0, :, pl.ds(eb, R)], wsem.at[0])
+            wv = pltpu.make_async_copy(
+                vpb, vc_ref.at[li, 0, :, pl.ds(eb, R)], wsem.at[1])
+            wk.start()
+            wv.start()
+            return wk, wv
+
+        def oneshot(kb, vb, kpb, vpb, sem, psem, wsem):
+            ck = pltpu.make_async_copy(kc_ref.at[li, 0], kb, sem.at[0, 0])
+            cv = pltpu.make_async_copy(vc_ref.at[li, 0], vb, sem.at[0, 1])
+            ck.start()
+            cv.start()
+            wk, wv = write_tile(kpb, vpb, psem, wsem)
+            tpos = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+            valid = tpos < pos_b            # current token handled apart
+            if window is not None:
+                valid &= tpos > pos_b - window
+            ck.wait()
+            cv.wait()
+
+            def hloop(hh, _):
+                k_ = kb[hh].astype(jnp.float32)           # [T, D]
+                v_ = vb[hh].astype(jnp.float32)
+                kn = knbuf[hh]                            # [1, D] f32
+                vn = vnbuf[hh]
+                for g in range(GH):
+                    hq = hh * GH + g
+                    qv = qbuf[hq]                         # [1, D] pre-scaled
+                    s = jnp.sum(k_ * qv, axis=1, keepdims=True)
+                    s = jnp.where(valid, s, neg)          # [T, 1]
+                    sc = jnp.sum(kn * qv)                 # current token
+                    m = jnp.maximum(jnp.max(s), sc)
+                    e = jnp.where(valid, jnp.exp(s - m), 0.0)
+                    ec = jnp.exp(sc - m)
+                    den = jnp.sum(e) + ec
+                    o_ref[hq] = (
+                        jnp.sum(v_ * e, axis=0, keepdims=True) + ec * vn
+                    ) * (1.0 / den)
+                return ()
+
+            jax.lax.fori_loop(0, Hkv, hloop, ())
+            wk.wait()
+            wv.wait()
+
+        def chunked(kb, vb, kpb, vpb, m_ref, d_ref, a_ref, sem, psem,
+                    wsem):
+            def start_chunk(ci, slot):
+                ck = pltpu.make_async_copy(
+                    kc_ref.at[li, 0, :, pl.ds(ci * C, C)],
+                    kb.at[pl.ds(slot * Hkv, Hkv)], sem.at[slot, 0])
+                cv = pltpu.make_async_copy(
+                    vc_ref.at[li, 0, :, pl.ds(ci * C, C)],
+                    vb.at[pl.ds(slot * Hkv, Hkv)], sem.at[slot, 1])
+                ck.start()
+                cv.start()
+
+            def wait_chunk(slot):
+                buf = pl.ds(slot * Hkv, Hkv)
+                pltpu.make_async_copy(kb.at[buf], kb.at[buf],
+                                      sem.at[slot, 0]).wait()
+                pltpu.make_async_copy(vb.at[buf], vb.at[buf],
+                                      sem.at[slot, 1]).wait()
+
+            if window is None:
+                lo = jnp.int32(0)
+            else:
+                lo = jnp.maximum(pos_b - window + 1, 0) // C
+            hi = pos_b // C + 1
+            start_chunk(lo, lo % 2)
+            m_ref[...] = jnp.full_like(m_ref, neg)
+            d_ref[...] = jnp.zeros_like(d_ref)
+            a_ref[...] = jnp.zeros_like(a_ref)
+            wk, wv = write_tile(kpb, vpb, psem, wsem)
+
+            def cloop(ci, _):
+                slot = jax.lax.rem(ci, 2)
+                wait_chunk(slot)
+
+                @pl.when(ci + 1 < hi)
+                def _():
+                    start_chunk(ci + 1, jax.lax.rem(ci + 1, 2))
+
+                tpos = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+                        + ci * C)
+                valid = tpos < pos_b    # current token handled apart
+                if window is not None:
+                    valid &= tpos > pos_b - window
+
+                def hloop(hh, _):
+                    k_ = kb[slot * Hkv + hh].astype(jnp.float32)  # [C, D]
+                    v_ = vb[slot * Hkv + hh].astype(jnp.float32)
+                    for g in range(GH):
+                        hq = hh * GH + g
+                        qv = qbuf[hq]
+                        s = jnp.sum(k_ * qv, axis=1, keepdims=True)
+                        s = jnp.where(valid, s, neg)          # [C, 1]
+                        m_old = m_ref[hq]                     # [1, LANES]
+                        m_new = jnp.maximum(m_old, jnp.max(s))
+                        ms = jnp.max(m_new)                   # scalar
+                        e = jnp.where(valid, jnp.exp(s - ms), 0.0)
+                        corr = jnp.exp(m_old - m_new)
+                        d_ref[hq] = d_ref[hq] * corr + jnp.sum(e)
+                        a_ref[hq] = a_ref[hq] * corr[:, :1] + jnp.sum(
+                            v_ * e, axis=0, keepdims=True)
+                        m_ref[hq] = m_new
+                    return ()
+
+                jax.lax.fori_loop(0, Hkv, hloop, ())
+                return ()
+
+            jax.lax.fori_loop(lo, hi, cloop, ())
+
+            def hfin(hh, _):
+                kn = knbuf[hh]
+                vn = vnbuf[hh]
+                for g in range(GH):
+                    hq = hh * GH + g
+                    qv = qbuf[hq]
+                    sc = jnp.sum(kn * qv)                     # scalar
+                    m_old = m_ref[hq]
+                    m_fin = jnp.maximum(m_old, sc)
+                    corr = jnp.exp(m_old - m_fin)
+                    ec = jnp.exp(sc - jnp.max(m_fin))
+                    den = d_ref[hq] * corr + ec               # [1, LANES]
+                    o_ref[hq] = (
+                        a_ref[hq] * corr[:, :1] + ec * vn
+                    ) * (1.0 / den[:, :1])
+                return ()
+
+            jax.lax.fori_loop(0, Hkv, hfin, ())
+            wk.wait()
+            wv.wait()
+
+        if C == T:
+            pl.run_scoped(
+                oneshot,
+                pltpu.VMEM((Hkv, T, D), kc_ref.dtype),
+                pltpu.VMEM((Hkv, T, D), vc_ref.dtype),
+                pltpu.VMEM((Hkv, ROWTILE, D), kc_ref.dtype),
+                pltpu.VMEM((Hkv, ROWTILE, D), vc_ref.dtype),
+                pltpu.SemaphoreType.DMA((1, 2)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            )
+        else:
+            pl.run_scoped(
+                chunked,
+                pltpu.VMEM((2 * Hkv, C, D), kc_ref.dtype),
+                pltpu.VMEM((2 * Hkv, C, D), vc_ref.dtype),
+                pltpu.VMEM((Hkv, ROWTILE, D), kc_ref.dtype),
+                pltpu.VMEM((Hkv, ROWTILE, D), vc_ref.dtype),
+                pltpu.VMEM((Hq, 1, LANES), jnp.float32),   # running max
+                pltpu.VMEM((Hq, 1, LANES), jnp.float32),   # running denom
+                pltpu.VMEM((Hq, 1, D), jnp.float32),       # running PV acc
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            )
+
+    extra = []
+    if norm:
+        extra = [pltpu.VMEM((nb, 1, LANES), x3_ref.dtype),
+                 pltpu.VMEM((nb, LANES), norm_ref.dtype),
+                 pltpu.SemaphoreType.DMA(())]
+    pl.run_scoped(
+        outer,
+        pltpu.VMEM((Hq, 1, D), jnp.float32),     # post-RoPE scaled q
+        pltpu.VMEM((Hkv, 1, D), jnp.float32),    # post-RoPE current k
+        pltpu.VMEM((Hkv, 1, D), jnp.float32),    # current v
+        pltpu.VMEM((nb, 1), jnp.float32),
+        pltpu.SMEM((nb, 1), jnp.float32),
+        pltpu.SMEM((cap,), jnp.int32),
+        pltpu.SemaphoreType.DMA(()),
+        *extra,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("G", "cap", "depth",
+                                             "norm_eps", "window",
+                                             "n_heads"))
+def attn_block(x3, thr, ws, cos, sin, kc_all, vc_all, layer, pos, *,
+               G: int, cap: int, n_heads: int, depth: Optional[int] = None,
+               norm3=None, norm_eps: float = 1e-5,
+               window: Optional[int] = None):
+    """One-launch attention block for single-token decode (batch 1).
+
+    x3:   [nb, 1, 128] packed residual stream (RAW when norm3 is given,
+          else already rms-normalized)
+    thr:  [1] f32 group-score threshold
+    ws:   (wq, wk, wv), each 2D [K, N] or layer-stacked 3D (+ `layer`);
+          bf16/fp32 arrays or packed-int4 dicts
+    cos/sin: [D] f32 RoPE rows at the current position
+    kc_all/vc_all: [L, 1, Hkv, T, D] stacked caches (updated in place)
+    layer, pos: traced int32 scalars
+
+    Returns (attn [1, n_heads, 1, D] in the cache dtype, kc_all, vc_all).
+    """
+    L, B, Hkv, T, D = kc_all.shape
+    assert B == 1 and D == LANES and T % ROWTILE == 0, kc_all.shape
+    plans = _plan_weights(tuple(ws))
+    if depth is None:
+        from teal_tpu.ops.block_gemv import _pick_depth
+
+        # the attention slabs share VMEM with the gather buffers here
+        depth = _pick_depth(plans, G, budget=7 << 20)
+    Ns = [p.N for p in plans]
+    assert Ns == [n_heads * D, Hkv * D, Hkv * D], (Ns, n_heads, Hkv)
+    flat = [a for p in plans for a in p.arrays]
+    nb = x3.shape[0]
+    C = _da.CHUNK if T % _da.CHUNK == 0 else T
+    if C != T:
+        # chunk buffers share VMEM with the gather slot buffers here:
+        # halve the chunk until both double-buffered K/V slots fit ~4 MB
+        # (many-KV-head models; e.g. 7B MHA Hkv=32 -> C=128)
+        while (4 * Hkv * C * D * kc_all.dtype.itemsize > (4 << 20)
+               and C % 2 == 0 and C > 128 and T % (C // 2) == 0):
+            C //= 2
+    if norm3 is not None and norm3.ndim == 3:
+        # flatten the layer axis into the sublane dim (see _norm_fold)
+        norm3 = norm3.reshape(-1, norm3.shape[-1])
+    norm_ops = () if norm3 is None else (norm3,)
+    cs = jnp.stack([jnp.asarray(cos, jnp.float32).reshape(D),
+                    jnp.asarray(sin, jnp.float32).reshape(D)])
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    pos = jnp.asarray(pos, jnp.int32).reshape(-1)[:1]
+
+    kernel = functools.partial(
+        _attn_block_kernel, G=G, plans=plans, nb=nb, cap=cap, depth=depth,
+        norm=norm3 is not None, norm_eps=norm_eps, Hq=n_heads, Hkv=Hkv,
+        T=T, D=D, C=C, window=window, scale=1.0 / (D ** 0.5),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,   # thr, layer, pos
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),   # x3
+                  pl.BlockSpec(memory_space=pltpu.VMEM)]   # cos/sin
+        + [pl.BlockSpec(memory_space=pl.ANY)
+           for _ in (*norm_ops, *flat)]
+        + [pl.BlockSpec(memory_space=pl.ANY),              # kc
+           pl.BlockSpec(memory_space=pl.ANY)],             # vc
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+    )
+    # flattened operand indices: thr 0, layer 1, pos 2, x3 3, cs 4,
+    # [norm], *flat, kc, vc
+    kc_idx = 5 + len(norm_ops) + len(flat)
+    weight_bytes = cap * sum(
+        (G // 2 if p.kind == "int4" else G) * p.N
+        * p.arrays[0].dtype.itemsize
+        for p in plans
+    )
+    out, kc_all, vc_all = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_heads, 1, D), jnp.float32),
+            jax.ShapeDtypeStruct(kc_all.shape, kc_all.dtype),
+            jax.ShapeDtypeStruct(vc_all.shape, vc_all.dtype),
+        ],
+        input_output_aliases={kc_idx: 1, kc_idx + 1: 2},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 8 * cap * G * sum(Ns) + 4 * n_heads * T * D,
+            bytes_accessed=weight_bytes
+            + 2 * Hkv * T * D * kc_all.dtype.itemsize,
+            transcendentals=n_heads * T,
+        ),
+    )(jnp.asarray(thr, jnp.float32).reshape(1), layer, pos, x3, cs,
+      *norm_ops, *flat, kc_all, vc_all)
+    return (out.reshape(1, n_heads, 1, D).astype(kc_all.dtype),
+            kc_all, vc_all)

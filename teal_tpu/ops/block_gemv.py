@@ -125,6 +125,21 @@ def _plan_weights(ws):
     return [_WeightPlan(w) for w in ws]
 
 
+def _pick_depth(plans, G: int, budget: int = 9 << 20) -> int:
+    """Slot-buffer pipeline depth: triple-buffer when the slabs fit a
+    ~9 MB VMEM budget, else double-buffer (still overlaps compute with
+    one in-flight gather). Big groups (G=128) with wide outputs would
+    blow the ~16 MB/core VMEM at depth 3 (e.g. gate/up slabs are
+    [128, 11008] bf16 = 2.8 MB each)."""
+    import math
+
+    per_slot = sum(
+        jnp.dtype(dt).itemsize * math.prod(shape[1:])
+        for p in plans for shape, dt in p.buf_shapes(G, 1)
+    )
+    return 3 if 3 * per_slot <= budget else 2
+
+
 def _xi_at(x_ref, j, G: int):
     """Group j's x values as the [SUBLANES, G] MXU lhs.
 
@@ -292,7 +307,8 @@ def _manual_gather_kernel(idx_ref, layer_ref, x_ref, *refs, G: int, plans,
 @functools.partial(jax.jit, static_argnames=("G", "k_keep", "out_dtype",
                                              "depth", "out_rows"))
 def block_gather_gemv_multi(idx, xpack, ws, *, G: int, k_keep: int,
-                            out_dtype=jnp.bfloat16, depth: int = 3,
+                            out_dtype=jnp.bfloat16,
+                            depth: Optional[int] = None,
                             layer=None, out_rows: int = 1):
     """Fused multi-weight gather GEMV: one launch gathers each kept G-row
     slab from EVERY weight (q/k/v or gate/up share one selection and one
@@ -306,6 +322,8 @@ def block_gather_gemv_multi(idx, xpack, ws, *, G: int, k_keep: int,
     outputs."""
     ws = tuple(ws)
     plans = _plan_weights(ws)
+    if depth is None:
+        depth = _pick_depth(plans, G)
     Ns = tuple(p.N for p in plans)
     n_tot = sum(Ns)
     flat = [a for p in plans for a in p.arrays]
@@ -346,15 +364,123 @@ def block_gather_gemv_multi(idx, xpack, ws, *, G: int, k_keep: int,
     return outs
 
 
+def _norm_fold(x3_ref, norm_ref, xn_ref, g_ref, gsem, layer_ref, *,
+               nb: int, G: int, norm_eps: float):
+    """In-kernel rms_norm: normalize raw packed x3 into xn_ref using the
+    (possibly layer-stacked) packed gain in `norm_ref` (ANY memory; its
+    DMA overlaps the sum-of-squares reduction). Mirrors `llama.rms_norm`
+    op order so calibrated thresholds apply unchanged.
+
+    Gains are packed 2D fp32 ([nb, 128], stacked [L*nb, 128]; see
+    `pack_norm3`): a layer's slab is a sublane-dim slice at a multiple of
+    nb (nb is a multiple of the fp32 tile of 8 for every supported dim) —
+    a [nb, 1, 128] layout would make the DMA slice across a size-1 tiled
+    sublane dim, which Mosaic cannot lower."""
+    if norm_ref.shape[0] == nb:
+        src = norm_ref
+    else:
+        src = norm_ref.at[pl.ds(pl.multiple_of(layer_ref[0] * nb, nb), nb)]
+    gcp = pltpu.make_async_copy(src, g_ref, gsem)
+    gcp.start()
+    xf = x3_ref[:, 0, :].astype(jnp.float32)       # [nb, 128]
+    scale = jax.lax.rsqrt(
+        jnp.sum(xf * xf) / jnp.float32(nb * G) + norm_eps)
+    gcp.wait()
+    xn_ref[:, 0, :] = (xf * scale).astype(x3_ref.dtype) \
+        * g_ref[...].astype(x3_ref.dtype)
+
+
+def _select_scan(thr, x_ref, scores_v, scores_s, idx_s, ssem, *,
+                 nb: int, cap: int):
+    """VPU group scores -> SMEM -> scalar-core threshold+capacity scan.
+    Fills idx_s (padded with the last survivor) and returns the survivor
+    count (the unified selection rule: first `cap` survivors by index)."""
+    scores_v[...] = jnp.max(
+        jnp.abs(x_ref[:, 0, :].astype(jnp.float32)),
+        axis=-1, keepdims=True,
+    )
+    cp = pltpu.make_async_copy(scores_v, scores_s, ssem)
+    cp.start()
+    cp.wait()
+
+    def scan_body(i, cnt):
+        keep = (scores_s[i, 0] > thr) & (cnt < cap)
+
+        @pl.when(keep)
+        def _():
+            idx_s[cnt] = i
+
+        return cnt + jax.lax.select(keep, 1, 0)
+
+    count = jax.lax.fori_loop(0, nb, scan_body, 0)
+
+    def pad_body(j, _):
+        @pl.when(j >= count)
+        def _():
+            idx_s[j] = idx_s[jnp.maximum(count - 1, 0)]
+
+        return ()
+
+    jax.lax.fori_loop(0, cap, pad_body, ())
+    return count
+
+
+def _gather_loop(plans, w_ref_groups, bufs, sems, layer_ref, x_ref, idx_s,
+                 count, acc, offs, *, G: int, cap: int, depth: int):
+    """Pipelined gather+MXU-accumulate over the first `count` kept groups
+    (indices in idx_s). Shared by the fused-select kernel and the fused
+    attention-block kernel."""
+    def start(slot, j):
+        for wi, p in enumerate(plans):
+            _start_dmas(p, w_ref_groups[wi], bufs[wi], sems[wi],
+                        layer_ref, slot, idx_s[j], G)
+
+    for j in range(min(depth - 1, cap)):
+        @pl.when(j < count)
+        def _(j=j):
+            start(j, j)
+
+    acc[...] = jnp.zeros_like(acc)
+
+    def loop(j, _):
+        slot = jax.lax.rem(j, depth)
+
+        @pl.when(j + depth - 1 < count)
+        def _():
+            start(jax.lax.rem(j + depth - 1, depth), j + depth - 1)
+
+        @pl.when(j < count)
+        def _():
+            xi = _xi_at(x_ref, idx_s[j], G)
+            for wi, p in enumerate(plans):
+                _accumulate(p, w_ref_groups[wi], bufs[wi], sems[wi],
+                            layer_ref, slot, idx_s[j], xi, acc,
+                            offs[wi], G)
+        return ()
+
+    jax.lax.fori_loop(0, cap, loop, ())
+
+
 def _fused_select_gather_kernel(thr_ref, layer_ref, x3_ref, *refs, G: int,
-                                plans, nb: int, cap: int, depth: int):
+                                plans, nb: int, cap: int, depth: int,
+                                norm: bool = False, norm_eps: float = 0.0):
     """Selection fused into the gather: group scores are reduced on the
     VPU, DMA'd to SMEM, and a scalar-core scan over the `nb` groups builds
     the kept-index list and issues the weight DMAs — no XLA top-k /
     sort / gather ops between kernels. Threshold semantics with a static
     capacity `cap`; groups beyond capacity are dropped lowest-index-last
     (scores are scanned in order, so the FIRST `cap` survivors win —
-    combined with a calibrated threshold the overflow case is rare)."""
+    combined with a calibrated threshold the overflow case is rare).
+
+    With `norm=True`, rms_norm is folded in too: x3 carries the RAW
+    residual stream and refs[0] is the packed norm gain ([nb, 1, 128] or
+    layer-stacked [L, nb, 1, 128], ANY memory). The gain DMA overlaps the
+    sum-of-squares reduction; normalization mirrors `llama.rms_norm`'s
+    op order ((x_f32 * rsqrt(mean(x^2) + eps)) -> x.dtype, * gain), so
+    thresholds calibrated on normalized activations apply unchanged —
+    and the two XLA rms_norm dispatches per layer disappear."""
+    if norm:
+        norm_ref, refs = refs[0], refs[1:]
     w_ref_groups, k = [], 0
     for p in plans:
         w_ref_groups.append(refs[k:k + p.n_dma])
@@ -365,6 +491,9 @@ def _fused_select_gather_kernel(thr_ref, layer_ref, x3_ref, *refs, G: int,
         offs.append(offs[-1] + p.N)
 
     def body(*scoped):
+        if norm:
+            xn_ref, g_ref, gsem = scoped[-3:]
+            scoped = scoped[:-3]
         bufs, sems, acc = _unpack(scoped[:-5])
         scores_v = scoped[-5]           # VMEM (nb, 1) f32
         scores_s = scoped[-4]           # SMEM (nb,) f32
@@ -372,74 +501,30 @@ def _fused_select_gather_kernel(thr_ref, layer_ref, x3_ref, *refs, G: int,
         cnt_s = scoped[-2]              # SMEM (1,) i32
         ssem = scoped[-1]               # DMA sem for the scores copy
 
-        # 1. VPU: group scores (lanes beyond G are zero-padded in x3)
-        scores_v[...] = jnp.max(
-            jnp.abs(x3_ref[:, 0, :].astype(jnp.float32)),
-            axis=-1, keepdims=True,
-        )
-        # 2. scores -> SMEM
-        cp = pltpu.make_async_copy(scores_v, scores_s, ssem)
-        cp.start()
-        cp.wait()
+        # 0. optional folded rms_norm: gain DMA overlaps the ssq reduce
+        if norm:
+            _norm_fold(x3_ref, norm_ref, xn_ref, g_ref, gsem, layer_ref,
+                       nb=nb, G=G, norm_eps=norm_eps)
+            x_ref = xn_ref
+        else:
+            x_ref = x3_ref
 
-        # 3. scalar scan: threshold + capacity
-        thr = thr_ref[0]
-
-        def scan_body(i, cnt):
-            keep = (scores_s[i, 0] > thr) & (cnt < cap)
-
-            @pl.when(keep)
-            def _():
-                idx_s[cnt] = i
-
-            return cnt + jax.lax.select(keep, 1, 0)
-
-        count = jax.lax.fori_loop(0, nb, scan_body, 0)
+        # 1-3. scores + scalar-core threshold/capacity scan
+        count = _select_scan(thr_ref[0], x_ref, scores_v, scores_s, idx_s,
+                             ssem, nb=nb, cap=cap)
         cnt_s[0] = count
 
-        # pad the tail so gather indices are always valid
-        def pad_body(j, _):
-            @pl.when(j >= count)
-            def _():
-                idx_s[j] = idx_s[jnp.maximum(count - 1, 0)]
-
-            return ()
-
-        jax.lax.fori_loop(0, cap, pad_body, ())
-
         # 4. gather + accumulate (same structure as the prefetch kernel)
-        def start(slot, j):
-            for wi, p in enumerate(plans):
-                _start_dmas(p, w_ref_groups[wi], bufs[wi], sems[wi],
-                            layer_ref, slot, idx_s[j], G)
-
-        for j in range(min(depth - 1, cap)):
-            @pl.when(j < count)
-            def _(j=j):
-                start(j, j)
-
-        acc[...] = jnp.zeros_like(acc)
-
-        def loop(j, _):
-            slot = jax.lax.rem(j, depth)
-
-            @pl.when(j + depth - 1 < count)
-            def _():
-                start(jax.lax.rem(j + depth - 1, depth), j + depth - 1)
-
-            @pl.when(j < count)
-            def _():
-                xi = _xi_at(x3_ref, idx_s[j], G)
-                for wi, p in enumerate(plans):
-                    _accumulate(p, w_ref_groups[wi], bufs[wi], sems[wi],
-                                layer_ref, slot, idx_s[j], xi, acc,
-                                offs[wi], G)
-            return ()
-
-        jax.lax.fori_loop(0, cap, loop, ())
+        _gather_loop(plans, w_ref_groups, bufs, sems, layer_ref, x_ref,
+                     idx_s, count, acc, offs, G=G, cap=cap, depth=depth)
         o_ref[...] = acc[...]
 
     scope_args, _unpack = _scoped_buffers(plans, G, depth, offs[-1])
+    extra = []
+    if norm:
+        extra = [pltpu.VMEM((nb, 1, LANES), x3_ref.dtype),  # normalized x
+                 pltpu.VMEM((nb, LANES), norm_ref.dtype),   # gain slab
+                 pltpu.SemaphoreType.DMA(())]
     pl.run_scoped(
         body,
         *scope_args,
@@ -448,24 +533,32 @@ def _fused_select_gather_kernel(thr_ref, layer_ref, x3_ref, *refs, G: int,
         pltpu.SMEM((cap,), jnp.int32),
         pltpu.SMEM((1,), jnp.int32),
         pltpu.SemaphoreType.DMA(()),
+        *extra,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("G", "cap", "out_dtype",
-                                             "depth"))
+                                             "depth", "norm_eps"))
 def fused_select_gather_gemv(x3, thr, ws, *, G: int, cap: int,
-                             out_dtype=jnp.bfloat16, depth: int = 3,
-                             layer=None):
+                             out_dtype=jnp.bfloat16,
+                             depth: Optional[int] = None,
+                             layer=None, norm3=None,
+                             norm_eps: float = 1e-5):
     """Threshold-mode sparse GEMV with in-kernel selection.
 
     x3:  [nb, 8, 128] — group g's x values in lanes [:G], replicated over
          sublanes, zero beyond G (built once per projection-input).
     thr: [1] f32 group-score threshold.
     ws:  weights, 2D [K, N] or stacked 3D [L, K, N] (+ `layer`).
+    norm3: optional packed rms_norm gain ([nb, 1, 128] or layer-stacked
+         [L, nb, 1, 128], see `pack_norm3`) — x3 then carries the RAW
+         residual stream and the norm happens in-kernel before selection.
     Returns a list of [1, N_w] outputs.
     """
     ws = tuple(ws)
     plans = _plan_weights(ws)
+    if depth is None:
+        depth = _pick_depth(plans, G)
     Ns = tuple(p.N for p in plans)
     flat = [a for p in plans for a in p.arrays]
     nb = x3.shape[0]
@@ -474,16 +567,21 @@ def fused_select_gather_gemv(x3, thr, ws, *, G: int, cap: int,
         layer = jnp.zeros((1,), jnp.int32)
     else:
         layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    if norm3 is not None and norm3.ndim == 3:
+        # flatten the layer axis into the sublane dim (see _norm_fold)
+        norm3 = norm3.reshape(-1, norm3.shape[-1])
+    norm_ops = () if norm3 is None else (norm3,)
 
     kernel = functools.partial(
         _fused_select_gather_kernel, G=G, plans=plans, nb=nb, cap=cap,
-        depth=depth,
+        depth=depth, norm=norm3 is not None, norm_eps=norm_eps,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # thr, layer
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec(memory_space=pl.ANY) for _ in flat],
+        + [pl.BlockSpec(memory_space=pl.ANY)
+           for _ in (*norm_ops, *flat)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
@@ -499,7 +597,8 @@ def fused_select_gather_gemv(x3, thr, ws, *, G: int, cap: int,
             ),
             transcendentals=0,
         ),
-    )(jnp.asarray(thr, jnp.float32).reshape(1), layer, x3, *flat)
+    )(jnp.asarray(thr, jnp.float32).reshape(1), layer, x3, *norm_ops,
+      *flat)
     outs = []
     off = 0
     for N in Ns:
@@ -519,6 +618,23 @@ def pack_x3(x, G: int):
         return x.reshape(nb, 1, LANES)
     x2 = jnp.zeros((nb, LANES), x.dtype)
     return x2.at[:, :G].set(x.reshape(nb, G)).reshape(nb, 1, LANES)
+
+
+def pack_norm3(g, G: int):
+    """rms_norm gain [K] (or layer-stacked [L, K]) -> packed fp32
+    [nb, 128] (/[L, nb, 128]) for the in-kernel norm fold, group g's gain
+    in row g, lanes [:G]. fp32 (exact upcast) so a layer slab's sublane
+    slice is tileable for any nb >= 8; packed once per forward call
+    (outside the layer scan)."""
+    K = g.shape[-1]
+    nb = K // G
+    lead = g.shape[:-1]
+    g = g.astype(jnp.float32)
+    if G == LANES:
+        return g.reshape(*lead, nb, LANES)
+    out = jnp.zeros((*lead, nb, LANES), jnp.float32)
+    out = out.at[..., :G].set(g.reshape(*lead, nb, G))
+    return out.reshape(*lead, nb, LANES)
 
 
 def group_scores(x, G: int):
@@ -694,7 +810,7 @@ def block_sparse_matmul(x, w, threshold, block_size: int = 32,
 
 def project_many(x, ws, block_size: int = 32,
                  keep_frac: Optional[float] = None, layer=None,
-                 threshold=None):
+                 threshold=None, norm3=None, norm_eps: float = 1e-5):
     """Apply the block-sparse GEMV to several weights sharing one input
     (q/k/v share the post-LN hidden state; gate/up share the MLP input —
     reference groups at `teal/mlp.py:50-56`, `teal/self_attn.py:70-84`).
@@ -704,7 +820,10 @@ def project_many(x, ws, block_size: int = 32,
 
     Each w may be 2D [K, N], layer-stacked 3D [L, K, N] (pass `layer`),
     an int8 dict {"q": 2D/3D, "scale": [N]}, or a packed int4 dict
-    {"qp", "sz"} (dequantized inside the kernel)."""
+    {"qp", "sz"} (dequantized inside the kernel).
+
+    `norm3` (threshold mode only): packed rms_norm gain — `x` is then the
+    RAW residual stream and the norm is folded into the kernel."""
     K = x.shape[-1]
     G = _shared_group_size(ws, block_size, K)
     nb = K // G
@@ -718,8 +837,11 @@ def project_many(x, ws, block_size: int = 32,
         x3 = pack_x3(xf, G)
         ys = fused_select_gather_gemv(
             x3, jnp.reshape(threshold, (1,)), raw, G=G, cap=k_keep,
-            out_dtype=jnp.float32, layer=layer,
+            out_dtype=jnp.float32, layer=layer, norm3=norm3,
+            norm_eps=norm_eps,
         )
+    elif norm3 is not None:
+        raise ValueError("norm3 fold requires threshold mode")
     else:
         idx, xpack = select_groups(xf, G, k_keep)
         ys = block_gather_gemv_multi(idx, xpack, raw, G=G, k_keep=k_keep,

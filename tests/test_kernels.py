@@ -568,3 +568,123 @@ def test_decode_attention_multi_chunk():
                                               np.asarray(kc_ref))
     finally:
         da.CHUNK = old
+
+
+def test_fused_norm_fold_matches_unfolded():
+    """In-kernel rms_norm (norm3) == XLA rms_norm + threshold-mode kernel,
+    for 2D and layer-stacked gains, fp32 and bf16 inputs."""
+    from teal_tpu.models.llama import rms_norm
+
+    key = jax.random.PRNGKey(3)
+    K, N, G, eps = 256, 384, 32, 1e-5
+    for dtype, stacked in ((jnp.float32, False), (jnp.bfloat16, True)):
+        key, kh, kw, kg = jax.random.split(key, 4)
+        h = (jax.random.normal(kh, (1, K), jnp.float32) * 2).astype(dtype)
+        w = jax.random.normal(kw, (K, N), jnp.float32).astype(dtype)
+        L = 3
+        gains = (1.0 + 0.3 * jax.random.normal(kg, (L, K), jnp.float32)
+                 ).astype(dtype)
+        thr = jnp.asarray([0.9], jnp.float32)
+        cap = (K // G) // 2
+        for li in range(L) if stacked else (0,):
+            gain = gains[li]
+            xn = rms_norm(h, gain, eps)
+            (ref,) = block_gemv.fused_select_gather_gemv(
+                block_gemv.pack_x3(xn, G), thr, (w,), G=G, cap=cap,
+                out_dtype=jnp.float32)
+            norm3 = block_gemv.pack_norm3(gains if stacked else gain, G)
+            (got,) = block_gemv.fused_select_gather_gemv(
+                block_gemv.pack_x3(h.reshape(1, K), G), thr, (w,), G=G,
+                cap=cap, out_dtype=jnp.float32,
+                layer=jnp.int32(li) if stacked else None,
+                norm3=norm3, norm_eps=eps)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=2e-2, atol=2e-2)
+
+
+def test_norm_fold_model_equivalence():
+    """Full-model decode: folded-norm threshold path == no-fold path
+    (packed_norms=None) on a tiny config."""
+    from teal_tpu.config import get_model_config
+    from teal_tpu.models import llama
+    from teal_tpu.models.llama import KVCache
+
+    cfg = get_model_config("tiny", n_layers=2, n_heads=4, n_kv_heads=4,
+                           dim=256, intermediate_size=384, vocab_size=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=32,
+                        block_keep_frac=0.625, block_thresholding=True,
+                        fused_decode_attention=False)
+    cache = KVCache.init(cfg, 1, 16, jnp.float32)
+    tok = jnp.asarray([[7]], jnp.int32)
+    th = jnp.full((cfg.n_layers, 7), 0.05, jnp.float32)
+
+    logits_fold, _ = llama.forward(params, tok, cache, 3, th, cfg=cfg, sp=sp)
+
+    # no-fold reference: same forward with packed_norms suppressed
+    import unittest.mock as mock
+    orig = llama.layer_forward
+
+    def no_fold_layer(*a, **kw):
+        kw["packed_norms"] = None
+        return orig(*a, **kw)
+
+    with mock.patch.object(llama, "layer_forward", no_fold_layer):
+        logits_ref, _ = llama.forward(params, tok, cache, 3, th,
+                                      cfg=cfg, sp=sp)
+    np.testing.assert_allclose(np.asarray(logits_fold),
+                               np.asarray(logits_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_attn_block_model_equivalence():
+    """One-launch attention block (norm+select+QKV+RoPE+cache+attention)
+    == the two-kernel path, across MHA/GQA, chunk boundaries, sliding
+    window, and multi-chunk caches."""
+    from teal_tpu.config import get_model_config
+    from teal_tpu.models import llama
+    from teal_tpu.models.llama import KVCache
+    from teal_tpu.ops import decode_attention as da
+
+    old_chunk = da.CHUNK
+    da.CHUNK = 16
+    try:
+        for n_heads, n_kv, window in ((2, 2, None), (4, 2, None),
+                                      (2, 2, 20)):
+            cfg = get_model_config(
+                "tiny", n_layers=2, n_heads=n_heads, n_kv_heads=n_kv,
+                dim=256 * (n_heads // 2), intermediate_size=384,
+                vocab_size=128, sliding_window=window)
+            assert cfg.head_dim == 128
+            params = llama.init_params(cfg, jax.random.PRNGKey(1),
+                                       jnp.float32)
+            base = SparsityConfig(
+                enabled=True, kernel="block", block_size=32,
+                block_keep_frac=0.75, block_thresholding=True,
+                fused_decode_attention=True)
+            th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
+            T = 48   # 3 chunks of 16
+            for p in (0, 15, 16, 40):
+                cache = KVCache.init(cfg, 1, T, jnp.float32)
+                cache = KVCache(
+                    k=jax.random.normal(jax.random.PRNGKey(p), cache.k.shape,
+                                        jnp.float32) * 0.1,
+                    v=jax.random.normal(jax.random.PRNGKey(p + 1),
+                                        cache.v.shape, jnp.float32) * 0.1)
+                tok = jnp.asarray([[p % 97]], jnp.int32)
+                got, cg = llama.forward(params, tok, cache, p, th,
+                                        cfg=cfg, sp=base)
+                ref, cr = llama.forward(
+                    params, tok, cache, p, th, cfg=cfg,
+                    sp=base.replace(fused_attn_block=False))
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4,
+                    err_msg=f"H={n_heads}/{n_kv} pos={p} window={window}")
+                np.testing.assert_allclose(np.asarray(cg.k),
+                                           np.asarray(cr.k),
+                                           rtol=1e-5, atol=1e-6)
+                np.testing.assert_allclose(np.asarray(cg.v),
+                                           np.asarray(cr.v),
+                                           rtol=1e-5, atol=1e-6)
+    finally:
+        da.CHUNK = old_chunk
