@@ -354,6 +354,10 @@ def main():
                     help="int8 = weight-only-quantized projections (e.g. "
                          "llama-3-8b, whose bf16 weights exceed one 16 GB "
                          "chip; the driver target is 8B @ 50%% >= 1.5x)")
+    ap.add_argument("--packed", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="packed-pipeline decode (G=128 only; default "
+                         "auto). --no-packed benches the per-kernel path")
     ap.add_argument("--thresholded", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="in-kernel threshold selection (the production "
@@ -390,6 +394,7 @@ def main():
         enabled=True, kernel="block", block_size=args.block_size,
         block_keep_frac=1.0 - args.sparsity,
         block_thresholding=args.thresholded,
+        packed_pipeline=args.packed,
     )
     tps_sparse = decode_tps(cfg, params, sparse_sp, args.max_seq,
                             n_short, n_long, batch=args.batch)

@@ -231,6 +231,13 @@ class SparsityConfig:
     # q/k/v weights are bf16/int4 with equal capacities); False disables
     # (falls back to the two-kernel path).
     fused_attn_block: Optional[bool] = None
+    # Packed-pipeline decode (G=128): every kernel writes its output in
+    # the packed-row layout the next kernel reads, with residual adds and
+    # the MLP activation folded in — a whole layer is 4 Pallas launches
+    # with zero XLA ops between them. None = auto (on when the fused
+    # attention block is active and every projection's effective group
+    # size is 128); False disables.
+    packed_pipeline: Optional[bool] = None
 
     def replace(self, **kw) -> "SparsityConfig":
         return dataclasses.replace(self, **kw)

@@ -461,6 +461,82 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
     return h, kc, vc, caps
 
 
+def _packed_layer(h3, stacked, kc, vc, pos, cos1, sin1, cfg: ModelConfig,
+                  sp: SparsityConfig, thresholds, packed_norms, layer_idx,
+                  kf):
+    """One transformer layer in the packed pipeline (G=128, batch-1
+    threshold-mode decode): FOUR Pallas launches — fused attention block,
+    o-proj(+residual), gate/up(+silu·mul), down(+residual) — chained
+    through the packed-row activation layout with ZERO XLA ops between
+    them. h3: [dim/128, 1, 128] packed residual stream (raw, norms are
+    folded into the kernels). Returns (h3', kc, vc)."""
+    from teal_tpu.ops import attn_block as _ab
+    from teal_tpu.ops import block_gemv as _bg
+
+    t = {p: thresholds[i] for i, p in enumerate(PROJS)}
+    D, I = cfg.dim, cfg.intermediate_size
+
+    def cap(K, frac):
+        nb = K // 128
+        return max(1, min(nb, int(round(nb * frac))))
+
+    attn, kc, vc = _ab.attn_block(
+        h3, t["q"], [stacked[n] for n in ("wq", "wk", "wv")],
+        cos1, sin1, kc, vc, layer_idx, pos,
+        G=128, cap=cap(D, kf[0]), n_heads=cfg.n_heads,
+        norm3=packed_norms["attn"], norm_eps=cfg.norm_eps,
+        window=cfg.sliding_window,
+    )
+    dt = h3.dtype
+    attn3 = attn.reshape(cfg.n_heads, 1, cfg.head_dim)  # packed rows
+    h3 = _bg.fused_select_gather_packed(
+        attn3, t["o"], [stacked["wo"]], G=128, cap=cap(D, kf[3]),
+        layer=layer_idx, res3=h3, out_dtype=dt,
+    )
+    inter3 = _bg.fused_select_gather_packed(
+        h3, t["gate"], [stacked["wgate"], stacked["wup"]], G=128,
+        cap=cap(D, kf[4]), layer=layer_idx, out_dtype=dt,
+        norm3=packed_norms["mlp"], norm_eps=cfg.norm_eps, silu_pair=True,
+    )
+    h3 = _bg.fused_select_gather_packed(
+        inter3, t["down"], [stacked["wdown"]], G=128, cap=cap(I, kf[6]),
+        layer=layer_idx, res3=h3, out_dtype=dt,
+    )
+    return h3, kc, vc
+
+
+def _can_packed_pipeline(params, cfg: ModelConfig, sp: SparsityConfig,
+                         s: int, b: int, fused_attn: bool,
+                         packed_norms) -> bool:
+    """Static gate for the packed pipeline: G must be 128 for every
+    projection, capacities shared within the fused launches, weights
+    bf16/fp32 or packed int4 (int8's post-scale is not folded)."""
+    if sp.packed_pipeline is False or not fused_attn:
+        return False
+    if not (s == 1 and b == 1 and packed_norms is not None
+            and cfg.n_experts == 0 and cfg.head_dim == 128
+            and cfg.dim % 128 == 0 and cfg.intermediate_size % 128 == 0):
+        return False
+    lay = params["layers"]
+    if isinstance(lay["wq"], dict) and "q" in lay["wq"]:
+        return False   # int8 weight-only
+    kf = sp.block_keep_fracs or (sp.block_keep_frac,) * 7
+    if not (kf[0] == kf[1] == kf[2] and kf[4] == kf[5]):
+        return False
+    from teal_tpu.ops import block_gemv as bg
+
+    gs = (
+        bg._shared_group_size([lay["wq"], lay["wk"], lay["wv"]],
+                              sp.block_size, cfg.dim),
+        bg._shared_group_size([lay["wo"]], sp.block_size, cfg.dim),
+        bg._shared_group_size([lay["wgate"], lay["wup"]],
+                              sp.block_size, cfg.dim),
+        bg._shared_group_size([lay["wdown"]], sp.block_size,
+                              cfg.intermediate_size),
+    )
+    return all(g == 128 for g in gs)
+
+
 def compute_dtype(params):
     """Activation dtype: the projection dtype, or bf16 when projections are
     int8 weight-only dicts."""
@@ -519,6 +595,36 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
             packed_norms["mlp"] = block_gemv.pack_norm3(
                 lay["mlp_norm"], g_mlp)
 
+    if _can_packed_pipeline(params, cfg, sp, s, b, fused_attn,
+                            packed_norms):
+        # packed pipeline: the residual stream stays in the kernels'
+        # packed-row layout for the whole scan — 4 Pallas launches per
+        # layer, zero XLA ops between them (norms/residuals/silu folded)
+        from teal_tpu.ops import block_gemv as _bg
+
+        kf = sp.block_keep_fracs or (sp.block_keep_frac,) * 7
+        h3 = _bg.pack_x3(h.reshape(1, cfg.dim), 128)
+
+        def packed_body(carry, xs):
+            h3, kc_all, vc_all = carry
+            i, thresh_l = xs
+            h3, kc_all, vc_all = _packed_layer(
+                h3, params["layers"], kc_all, vc_all, pos,
+                cos[0, 0], sin[0, 0], cfg, sp, thresh_l, packed_norms,
+                i, kf,
+            )
+            return (h3, kc_all, vc_all), None
+
+        idx = jnp.arange(cfg.n_layers)
+        (h3, kc, vc), _ = jax.lax.scan(
+            packed_body, (h3, cache.k, cache.v), (idx, thresholds)
+        )
+        h = h3.reshape(1, 1, cfg.dim)
+        h = rms_norm(h, params["final_norm"], cfg.norm_eps)
+        if return_hidden:
+            return h, KVCache(kc, vc)
+        return _lm_head(params, h), KVCache(kc, vc)
+
     def body(carry, xs):
         h, kc_all, vc_all = carry
         i, thresh_l = xs
@@ -558,6 +664,10 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
     h = rms_norm(h, params["final_norm"], cfg.norm_eps)
     if return_hidden:
         return h, KVCache(kc, vc)
+    return _lm_head(params, h), KVCache(kc, vc)
+
+
+def _lm_head(params, h):
     lmh = params["lm_head"]
     if isinstance(lmh, dict):
         # quantized output head (reference quantizes every nn.Linear
@@ -567,15 +677,13 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
 
         if "zero" in lmh:        # int4 groupwise affine
             w = quant.dequantize_int4_dict(lmh, h.dtype)
-            logits = jnp.matmul(h, w, preferred_element_type=jnp.float32)
-        else:                    # int8 per-channel
-            logits = jnp.matmul(
-                h, lmh["q"].astype(h.dtype),
-                preferred_element_type=jnp.float32,
-            ) * lmh["scale"]
-    else:
-        logits = jnp.matmul(h, lmh, preferred_element_type=jnp.float32)
-    return logits, KVCache(kc, vc)
+            return jnp.matmul(h, w, preferred_element_type=jnp.float32)
+        # int8 per-channel
+        return jnp.matmul(
+            h, lmh["q"].astype(h.dtype),
+            preferred_element_type=jnp.float32,
+        ) * lmh["scale"]
+    return jnp.matmul(h, lmh, preferred_element_type=jnp.float32)
 
 
 def zero_thresholds(cfg: ModelConfig):

@@ -301,8 +301,10 @@ def _attn_block_kernel(thr_ref, layer_ref, pos_ref, x3_ref, cs_ref, *refs,
 
     extra = []
     if norm:
+        from teal_tpu.ops.block_gemv import _norm_rows
+
         extra = [pltpu.VMEM((nb, 1, LANES), x3_ref.dtype),
-                 pltpu.VMEM((nb, LANES), norm_ref.dtype),
+                 pltpu.VMEM((_norm_rows(nb), LANES), norm_ref.dtype),
                  pltpu.SemaphoreType.DMA(())]
     pl.run_scoped(
         outer,

@@ -371,15 +371,17 @@ def _norm_fold(x3_ref, norm_ref, xn_ref, g_ref, gsem, layer_ref, *,
     DMA overlaps the sum-of-squares reduction). Mirrors `llama.rms_norm`
     op order so calibrated thresholds apply unchanged.
 
-    Gains are packed 2D fp32 ([nb, 128], stacked [L*nb, 128]; see
-    `pack_norm3`): a layer's slab is a sublane-dim slice at a multiple of
-    nb (nb is a multiple of the fp32 tile of 8 for every supported dim) —
-    a [nb, 1, 128] layout would make the DMA slice across a size-1 tiled
-    sublane dim, which Mosaic cannot lower."""
-    if norm_ref.shape[0] == nb:
+    Gains are packed 2D fp32 ([nbp, 128], stacked [L*nbp, 128] with nbp
+    = nb padded to the fp32 sublane tile; see `pack_norm3`): a layer's
+    slab is then a tile-aligned sublane-dim slice — a [nb, 1, 128]
+    layout would make the DMA slice across a size-1 tiled sublane dim,
+    which Mosaic cannot lower."""
+    nbp = _norm_rows(nb)
+    if norm_ref.shape[0] == nbp:
         src = norm_ref
     else:
-        src = norm_ref.at[pl.ds(pl.multiple_of(layer_ref[0] * nb, nb), nb)]
+        src = norm_ref.at[pl.ds(pl.multiple_of(layer_ref[0] * nbp, nbp),
+                                nbp)]
     gcp = pltpu.make_async_copy(src, g_ref, gsem)
     gcp.start()
     xf = x3_ref[:, 0, :].astype(jnp.float32)       # [nb, 128]
@@ -387,7 +389,7 @@ def _norm_fold(x3_ref, norm_ref, xn_ref, g_ref, gsem, layer_ref, *,
         jnp.sum(xf * xf) / jnp.float32(nb * G) + norm_eps)
     gcp.wait()
     xn_ref[:, 0, :] = (xf * scale).astype(x3_ref.dtype) \
-        * g_ref[...].astype(x3_ref.dtype)
+        * g_ref[...][:nb].astype(x3_ref.dtype)
 
 
 def _select_scan(thr, x_ref, scores_v, scores_s, idx_s, ssem, *,
@@ -463,7 +465,9 @@ def _gather_loop(plans, w_ref_groups, bufs, sems, layer_ref, x_ref, idx_s,
 
 def _fused_select_gather_kernel(thr_ref, layer_ref, x3_ref, *refs, G: int,
                                 plans, nb: int, cap: int, depth: int,
-                                norm: bool = False, norm_eps: float = 0.0):
+                                norm: bool = False, norm_eps: float = 0.0,
+                                out_packed: bool = False,
+                                res: bool = False, silu_pair: bool = False):
     """Selection fused into the gather: group scores are reduced on the
     VPU, DMA'd to SMEM, and a scalar-core scan over the `nb` groups builds
     the kept-index list and issues the weight DMAs — no XLA top-k /
@@ -473,14 +477,26 @@ def _fused_select_gather_kernel(thr_ref, layer_ref, x3_ref, *refs, G: int,
     combined with a calibrated threshold the overflow case is rare).
 
     With `norm=True`, rms_norm is folded in too: x3 carries the RAW
-    residual stream and refs[0] is the packed norm gain ([nb, 1, 128] or
-    layer-stacked [L, nb, 1, 128], ANY memory). The gain DMA overlaps the
-    sum-of-squares reduction; normalization mirrors `llama.rms_norm`'s
-    op order ((x_f32 * rsqrt(mean(x^2) + eps)) -> x.dtype, * gain), so
-    thresholds calibrated on normalized activations apply unchanged —
-    and the two XLA rms_norm dispatches per layer disappear."""
+    residual stream and refs[0] is the packed norm gain (see
+    `pack_norm3`, ANY memory). The gain DMA overlaps the sum-of-squares
+    reduction; normalization mirrors `llama.rms_norm`'s op order
+    ((x_f32 * rsqrt(mean(x^2) + eps)) -> x.dtype, * gain), so thresholds
+    calibrated on normalized activations apply unchanged — and the two
+    XLA rms_norm dispatches per layer disappear.
+
+    Packed-pipeline modes (G == 128 decode, batch 1 — every kernel's
+    packed-row output IS the next kernel's x3 input, so a whole layer
+    chains with zero XLA ops between launches):
+      - `out_packed`: write o_ref as [n_out/128, 1, 128] rows (static
+        per-tile slices of the accumulator) instead of [8, n_out] lanes.
+      - `res`: an extra packed [n_out/128, 1, 128] residual input is
+        added in fp32 before the cast (the XLA `h + proj` disappears).
+      - `silu_pair`: plans must be (gate, up) with equal N; rows are
+        silu(gate) * up — the MLP activation never exists in XLA."""
     if norm:
         norm_ref, refs = refs[0], refs[1:]
+    if res:
+        res_ref, refs = refs[0], refs[1:]
     w_ref_groups, k = [], 0
     for p in plans:
         w_ref_groups.append(refs[k:k + p.n_dma])
@@ -517,13 +533,26 @@ def _fused_select_gather_kernel(thr_ref, layer_ref, x3_ref, *refs, G: int,
         # 4. gather + accumulate (same structure as the prefetch kernel)
         _gather_loop(plans, w_ref_groups, bufs, sems, layer_ref, x_ref,
                      idx_s, count, acc, offs, G=G, cap=cap, depth=depth)
-        o_ref[...] = acc[...]
+        if silu_pair:
+            for j in range(plans[0].N // LANES):
+                g_ = acc[0:1, j * LANES:(j + 1) * LANES]
+                u_ = acc[0:1, offs[1] + j * LANES:offs[1] + (j + 1) * LANES]
+                row = g_ * (1.0 / (1.0 + jnp.exp(-g_))) * u_
+                o_ref[j] = row.astype(o_ref.dtype)
+        elif out_packed:
+            for j in range(offs[-1] // LANES):
+                row = acc[0:1, j * LANES:(j + 1) * LANES]
+                if res:
+                    row = row + res_ref[j].astype(jnp.float32)
+                o_ref[j] = row.astype(o_ref.dtype)
+        else:
+            o_ref[...] = acc[...]
 
     scope_args, _unpack = _scoped_buffers(plans, G, depth, offs[-1])
     extra = []
     if norm:
         extra = [pltpu.VMEM((nb, 1, LANES), x3_ref.dtype),  # normalized x
-                 pltpu.VMEM((nb, LANES), norm_ref.dtype),   # gain slab
+                 pltpu.VMEM((_norm_rows(nb), LANES), norm_ref.dtype),
                  pltpu.SemaphoreType.DMA(())]
     pl.run_scoped(
         body,
@@ -607,6 +636,78 @@ def fused_select_gather_gemv(x3, thr, ws, *, G: int, cap: int,
     return outs
 
 
+@functools.partial(jax.jit, static_argnames=("G", "cap", "out_dtype",
+                                             "depth", "norm_eps",
+                                             "silu_pair"))
+def fused_select_gather_packed(x3, thr, ws, *, G: int, cap: int,
+                               out_dtype=jnp.bfloat16,
+                               depth: Optional[int] = None,
+                               layer=None, norm3=None,
+                               norm_eps: float = 1e-5, res3=None,
+                               silu_pair: bool = False):
+    """Packed-pipeline projection (G == 128 decode, batch 1): in-kernel
+    threshold selection like `fused_select_gather_gemv`, but the output
+    comes back in the kernels' packed-row layout [n_out/128, 1, 128] —
+    directly consumable as the next launch's x3 — with the residual add
+    (`res3`, packed) and the MLP activation (`silu_pair`: ws = (gate, up),
+    returns packed silu(gate)*up) folded in. A whole transformer layer
+    chains through these with ZERO XLA ops between Pallas launches."""
+    ws = tuple(ws)
+    plans = _plan_weights(ws)
+    if depth is None:
+        depth = _pick_depth(plans, G)
+    Ns = tuple(p.N for p in plans)
+    flat = [a for p in plans for a in p.arrays]
+    nb = x3.shape[0]
+    n_tot = sum(Ns)
+    if silu_pair:
+        assert len(plans) == 2 and Ns[0] == Ns[1] and res3 is None
+        n_out = Ns[0]
+    else:
+        n_out = n_tot
+    assert n_out % LANES == 0
+    if layer is None:
+        layer = jnp.zeros((1,), jnp.int32)
+    else:
+        layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    if norm3 is not None and norm3.ndim == 3:
+        norm3 = norm3.reshape(-1, norm3.shape[-1])
+    extra_ops = [a for a in (norm3, res3) if a is not None]
+
+    kernel = functools.partial(
+        _fused_select_gather_kernel, G=G, plans=plans, nb=nb, cap=cap,
+        depth=depth, norm=norm3 is not None, norm_eps=norm_eps,
+        out_packed=True, res=res3 is not None, silu_pair=silu_pair,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,   # thr, layer
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]          # x3
+        + [pl.BlockSpec(memory_space=pl.ANY)
+           for _ in range(1 if norm3 is not None else 0)]         # norm
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)
+           for _ in range(1 if res3 is not None else 0)]          # res
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in flat],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out // LANES, 1, LANES),
+                                       out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * SUBLANES * cap * G * n_tot,
+            bytes_accessed=cap * sum(
+                (G // 2 if p.kind == "int4" else G) * p.N
+                * p.arrays[0].dtype.itemsize
+                for p in plans
+            ),
+            transcendentals=n_out if silu_pair else 0,
+        ),
+    )(jnp.asarray(thr, jnp.float32).reshape(1), layer, x3, *extra_ops,
+      *flat)
+
+
 def pack_x3(x, G: int):
     """[1, K] -> [nb, 1, 128]: group g's values in row g, lanes [:G],
     zero beyond (the kernels' single-row input layout; the [SUBLANES, G]
@@ -620,21 +721,26 @@ def pack_x3(x, G: int):
     return x2.at[:, :G].set(x.reshape(nb, G)).reshape(nb, 1, LANES)
 
 
+def _norm_rows(nb: int) -> int:
+    """Packed-gain rows, padded to the fp32 sublane tile (8) so a layer
+    slab's DMA slice offset/shape stay tile-aligned for any nb."""
+    return -(-nb // 8) * 8
+
+
 def pack_norm3(g, G: int):
     """rms_norm gain [K] (or layer-stacked [L, K]) -> packed fp32
-    [nb, 128] (/[L, nb, 128]) for the in-kernel norm fold, group g's gain
-    in row g, lanes [:G]. fp32 (exact upcast) so a layer slab's sublane
-    slice is tileable for any nb >= 8; packed once per forward call
-    (outside the layer scan)."""
+    [nbp, 128] (/[L, nbp, 128]) for the in-kernel norm fold, group g's
+    gain in row g, lanes [:G], rows padded to the fp32 sublane tile
+    (`_norm_rows`). fp32 (exact upcast) keeps the slab slice tileable;
+    packed once per forward call (outside the layer scan)."""
     K = g.shape[-1]
     nb = K // G
+    nbp = _norm_rows(nb)
     lead = g.shape[:-1]
     g = g.astype(jnp.float32)
-    if G == LANES:
-        return g.reshape(*lead, nb, LANES)
-    out = jnp.zeros((*lead, nb, LANES), jnp.float32)
-    out = out.at[..., :G].set(g.reshape(*lead, nb, G))
-    return out.reshape(*lead, nb, LANES)
+    out = jnp.zeros((*lead, nbp, LANES), jnp.float32)
+    out = out.at[..., :nb, :G].set(g.reshape(*lead, nb, G))
+    return out
 
 
 def group_scores(x, G: int):

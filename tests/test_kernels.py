@@ -688,3 +688,31 @@ def test_fused_attn_block_model_equivalence():
                                            rtol=1e-5, atol=1e-6)
     finally:
         da.CHUNK = old_chunk
+
+
+def test_packed_pipeline_model_equivalence():
+    """Packed pipeline (G=128, zero XLA between launches: packed-row
+    chaining + in-kernel residual/silu) == the per-kernel fallback."""
+    from teal_tpu.config import get_model_config
+    from teal_tpu.models import llama
+    from teal_tpu.models.llama import KVCache
+
+    cfg = get_model_config("tiny", n_layers=2, n_heads=2, n_kv_heads=2,
+                           dim=256, intermediate_size=384, vocab_size=128)
+    assert cfg.head_dim == 128
+    params = llama.init_params(cfg, jax.random.PRNGKey(2), jnp.float32)
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                        block_keep_frac=0.75, block_thresholding=True,
+                        fused_decode_attention=True)
+    th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
+    for p in (0, 5):
+        cache = KVCache.init(cfg, 1, 16, jnp.float32)
+        tok = jnp.asarray([[3 + p]], jnp.int32)
+        got, cg = llama.forward(params, tok, cache, p, th, cfg=cfg, sp=sp)
+        ref, cr = llama.forward(params, tok, cache, p, th, cfg=cfg,
+                                sp=sp.replace(packed_pipeline=False))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"pos={p}")
+        np.testing.assert_allclose(np.asarray(cg.k), np.asarray(cr.k),
+                                   rtol=1e-5, atol=1e-6)
