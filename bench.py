@@ -338,9 +338,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="7B")
     ap.add_argument("--sparsity", type=float, default=0.5)
-    ap.add_argument("--block-size", type=int, default=64,
-                    help="gather group size (64 = best measured; with the "
-                         "channel permutation G=64 quality ~= G=32, "
+    ap.add_argument("--block-size", type=int, default=128,
+                    help="gather group size (128 = best measured: enables "
+                         "the packed pipeline; with the channel "
+                         "permutation G=128 quality ~= G=32, "
                          "docs/ACCURACY.md)")
     ap.add_argument("--max-seq", type=int, default=256)
     ap.add_argument("--quick", action="store_true")
@@ -358,6 +359,16 @@ def main():
                     default=None,
                     help="packed-pipeline decode (G=128 only; default "
                          "auto). --no-packed benches the per-kernel path")
+    ap.add_argument("--token", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="whole-token kernel: the entire layer stack as "
+                         "ONE Pallas launch (default auto-on with the "
+                         "packed pipeline). --no-token benches the "
+                         "4-launch/layer packed pipeline")
+    ap.add_argument("--fixed-selection", action="store_true",
+                    help="diagnostic: identity kept-set (groups 0..cap-1) "
+                         "instead of the in-kernel threshold scan — same "
+                         "DMA/MXU work, isolates selection latency")
     ap.add_argument("--thresholded", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="in-kernel threshold selection (the production "
@@ -395,6 +406,8 @@ def main():
         block_keep_frac=1.0 - args.sparsity,
         block_thresholding=args.thresholded,
         packed_pipeline=args.packed,
+        token_fused=args.token,
+        debug_fixed_selection=args.fixed_selection,
     )
     tps_sparse = decode_tps(cfg, params, sparse_sp, args.max_seq,
                             n_short, n_long, batch=args.batch)

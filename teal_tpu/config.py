@@ -238,6 +238,16 @@ class SparsityConfig:
     # attention block is active and every projection's effective group
     # size is 128); False disables.
     packed_pipeline: Optional[bool] = None
+    # Whole-token kernel: run the ENTIRE layer stack as one Pallas
+    # launch (grid over layers, residual stream in persistent VMEM;
+    # ops/token_block.py). None = auto (on whenever the packed pipeline
+    # is eligible); False = fall back to 4 launches/layer.
+    token_fused: Optional[bool] = None
+    # Diagnostic (bench --fixed-selection): replace in-kernel threshold
+    # selection with a static identity kept-set (groups 0..cap-1). Same
+    # DMA/MXU work, no scores->SMEM->scalar-scan head — isolates the
+    # selection latency at each launch. NOT a production mode.
+    debug_fixed_selection: bool = False
 
     def replace(self, **kw) -> "SparsityConfig":
         return dataclasses.replace(self, **kw)

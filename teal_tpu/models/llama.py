@@ -480,27 +480,29 @@ def _packed_layer(h3, stacked, kc, vc, pos, cos1, sin1, cfg: ModelConfig,
         nb = K // 128
         return max(1, min(nb, int(round(nb * frac))))
 
+    fx = sp.debug_fixed_selection
     attn, kc, vc = _ab.attn_block(
         h3, t["q"], [stacked[n] for n in ("wq", "wk", "wv")],
         cos1, sin1, kc, vc, layer_idx, pos,
         G=128, cap=cap(D, kf[0]), n_heads=cfg.n_heads,
         norm3=packed_norms["attn"], norm_eps=cfg.norm_eps,
-        window=cfg.sliding_window,
+        window=cfg.sliding_window, fixed_sel=fx,
     )
     dt = h3.dtype
     attn3 = attn.reshape(cfg.n_heads, 1, cfg.head_dim)  # packed rows
     h3 = _bg.fused_select_gather_packed(
         attn3, t["o"], [stacked["wo"]], G=128, cap=cap(D, kf[3]),
-        layer=layer_idx, res3=h3, out_dtype=dt,
+        layer=layer_idx, res3=h3, out_dtype=dt, fixed_sel=fx,
     )
     inter3 = _bg.fused_select_gather_packed(
         h3, t["gate"], [stacked["wgate"], stacked["wup"]], G=128,
         cap=cap(D, kf[4]), layer=layer_idx, out_dtype=dt,
         norm3=packed_norms["mlp"], norm_eps=cfg.norm_eps, silu_pair=True,
+        fixed_sel=fx,
     )
     h3 = _bg.fused_select_gather_packed(
         inter3, t["down"], [stacked["wdown"]], G=128, cap=cap(I, kf[6]),
-        layer=layer_idx, res3=h3, out_dtype=dt,
+        layer=layer_idx, res3=h3, out_dtype=dt, fixed_sel=fx,
     )
     return h3, kc, vc
 
@@ -604,6 +606,35 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
 
         kf = sp.block_keep_fracs or (sp.block_keep_frac,) * 7
         h3 = _bg.pack_x3(h.reshape(1, cfg.dim), 128)
+
+        if sp.token_fused is not False:
+            # whole-token kernel: ONE Pallas launch for the entire layer
+            # stack (grid over layers; ops/token_block.py)
+            from teal_tpu.ops import token_block
+
+            def cap_(K, frac):
+                nb_ = K // 128
+                return max(1, min(nb_, int(round(nb_ * frac))))
+
+            lay = params["layers"]
+            h3, kc, vc = token_block.token_decode(
+                h3, thresholds,
+                (lay["wq"], lay["wk"], lay["wv"], lay["wo"],
+                 lay["wgate"], lay["wup"], lay["wdown"]),
+                packed_norms["attn"], packed_norms["mlp"],
+                cos[0, 0], sin[0, 0], cache.k, cache.v, pos,
+                caps=(cap_(cfg.dim, kf[0]), cap_(cfg.dim, kf[3]),
+                      cap_(cfg.dim, kf[4]),
+                      cap_(cfg.intermediate_size, kf[6])),
+                n_heads=cfg.n_heads, norm_eps=cfg.norm_eps,
+                window=cfg.sliding_window,
+                fixed_sel=sp.debug_fixed_selection,
+            )
+            h = h3.reshape(1, 1, cfg.dim)
+            h = rms_norm(h, params["final_norm"], cfg.norm_eps)
+            if return_hidden:
+                return h, KVCache(kc, vc)
+            return _lm_head(params, h), KVCache(kc, vc)
 
         def packed_body(carry, xs):
             h3, kc_all, vc_all = carry

@@ -51,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 from teal_tpu.ops import decode_attention as _da
 from teal_tpu.ops.block_gemv import (LANES, _gather_loop, _norm_fold,
                                      _plan_weights, _scoped_buffers,
-                                     _select_scan)
+                                     _select_scan, _start_dmas)
 from teal_tpu.ops.decode_attention import ROWTILE
 
 
@@ -59,17 +59,40 @@ def _attn_block_kernel(thr_ref, layer_ref, pos_ref, x3_ref, cs_ref, *refs,
                        G: int, plans, nb: int, cap: int, depth: int,
                        norm: bool, norm_eps: float, Hq: int, Hkv: int,
                        T: int, D: int, C: int, window: Optional[int],
-                       scale: float):
+                       scale: float, fixed_sel: bool = False):
     """cs_ref: [2, D] f32 (cos row 0 / sin row 1 at the current position);
     o_ref: [Hq, 1, D] f32 attention output; caches aliased in->out."""
     if norm:
         norm_ref, refs = refs[0], refs[1:]
+    else:
+        norm_ref = None
     w_ref_groups, k = [], 0
     for p in plans:
         w_ref_groups.append(refs[k:k + p.n_dma])
         k += p.n_dma
     kc_in, vc_in, o_ref, kc_ref, vc_ref = refs[k:]
     del kc_in, vc_in  # aliased: kc_ref/vc_ref are the same buffers
+    attn_stage(thr_ref[0], layer_ref, pos_ref[0], x3_ref, cs_ref, norm_ref,
+               w_ref_groups, kc_ref, vc_ref, o_ref, G=G, plans=plans,
+               nb=nb, cap=cap, depth=depth, norm_eps=norm_eps, Hq=Hq,
+               Hkv=Hkv, T=T, D=D, C=C, window=window, scale=scale,
+               fixed_sel=fixed_sel)
+
+
+def attn_stage(thr, layer_ref, pos_b, x3_ref, cs_ref, norm_ref,
+               w_ref_groups, kc_ref, vc_ref, o_ref, *, G: int, plans,
+               nb: int, cap: int, depth: int, norm_eps: float, Hq: int,
+               Hkv: int, T: int, D: int, C: int, window: Optional[int],
+               scale: float, fixed_sel: bool = False):
+    """The whole attention block as an in-kernel stage: (folded norm +)
+    selection + QKV gather + RoPE + in-place cache write + attention.
+    Called by `_attn_block_kernel` (one launch per layer) and by the
+    whole-token kernel (`ops/token_block.py`, grid over layers).
+
+    thr/pos_b: scalar values; x3_ref/o_ref may be kernel refs OR VMEM
+    scratch buffers (o_ref's dtype decides the output cast); norm_ref
+    None disables the folded rms_norm."""
+    norm = norm_ref is not None
     offs = [0]
     for p in plans:
         offs.append(offs[-1] + p.N)
@@ -79,23 +102,70 @@ def _attn_block_kernel(thr_ref, layer_ref, pos_ref, x3_ref, cs_ref, *refs,
     neg = jnp.float32(-1e30)
 
     def outer(qbuf, knbuf, vnbuf, scores_v, scores_s, idx_s, ssem, *rest):
-        # --- 1-2: (folded norm +) selection ---
         if norm:
-            xn_ref, g_ref, gsem = rest
+            xn_ref, g_ref, gsem = rest[:3]
+            rest = rest[3:]
+        li = layer_ref[0]
+        eb = (pos_b // R) * R
+        if C == T:
+            kb, vb, kpb, vpb, sem, psem, wsem = rest
+        else:
+            kb, vb, kpb, vpb, m_ref, d_ref, a_ref, sem, psem, wsem = rest
+
+        def start_chunk(ci, slot):
+            ck = pltpu.make_async_copy(
+                kc_ref.at[li, 0, :, pl.ds(ci * C, C)],
+                kb.at[pl.ds(slot * Hkv, Hkv)], sem.at[slot, 0])
+            cv = pltpu.make_async_copy(
+                vc_ref.at[li, 0, :, pl.ds(ci * C, C)],
+                vb.at[pl.ds(slot * Hkv, Hkv)], sem.at[slot, 1])
+            ck.start()
+            cv.start()
+
+        # --- 0: start the cache reads NOW — they depend only on the
+        # layer/position, so the full-cache (or first-chunk) DMA and the
+        # write-tile pre-read run UNDER the norm/selection/QKV gather
+        # below instead of after it (up to 4 MB/layer of cache traffic
+        # overlapped with the weight gather).
+        if C == T:
+            pltpu.make_async_copy(kc_ref.at[li, 0], kb, sem.at[0, 0]).start()
+            pltpu.make_async_copy(vc_ref.at[li, 0], vb, sem.at[0, 1]).start()
+            lo = jnp.int32(0)
+        else:
+            if window is None:
+                lo = jnp.int32(0)
+            else:
+                lo = jnp.maximum(pos_b - window + 1, 0) // C
+            start_chunk(lo, jax.lax.rem(lo, 2))
+        pltpu.make_async_copy(
+            kc_ref.at[li, 0, :, pl.ds(eb, R)], kpb, psem.at[0]).start()
+        pltpu.make_async_copy(
+            vc_ref.at[li, 0, :, pl.ds(eb, R)], vpb, psem.at[1]).start()
+
+        # --- 1: optional folded norm ---
+        if norm:
             _norm_fold(x3_ref, norm_ref, xn_ref, g_ref, gsem, layer_ref,
                        nb=nb, G=G, norm_eps=norm_eps)
             x_ref = xn_ref
         else:
             x_ref = x3_ref
-        count = _select_scan(thr_ref[0], x_ref, scores_v, scores_s, idx_s,
-                             ssem, nb=nb, cap=cap)
 
-        # --- 3-4: gather qkv, then RoPE out of the accumulator ---
+        # --- 2-4: selection (ramp DMAs issued from inside the scan),
+        # gather qkv, then RoPE out of the accumulator ---
         def gather(*scoped):
             bufs, sems, acc = _unpack(scoped)
+
+            def ramp(slot, gidx):
+                for wi, p in enumerate(plans):
+                    _start_dmas(p, w_ref_groups[wi], bufs[wi], sems[wi],
+                                layer_ref, slot, gidx, G)
+
+            count = _select_scan(thr, x_ref, scores_v, scores_s, idx_s,
+                                 ssem, nb=nb, cap=cap, fixed=fixed_sel,
+                                 ramp_start=ramp, ramp_depth=depth)
             _gather_loop(plans, w_ref_groups, bufs, sems, layer_ref,
                          x_ref, idx_s, count, acc, offs,
-                         G=G, cap=cap, depth=depth)
+                         G=G, cap=cap, depth=depth, skip_ramp=True)
             cos = cs_ref[0:1, :]                       # [1, D]
             sin = cs_ref[1:2, :]
 
@@ -116,23 +186,17 @@ def _attn_block_kernel(thr_ref, layer_ref, pos_ref, x3_ref, cs_ref, *refs,
         pl.run_scoped(gather, *scope_args)
 
         # --- 5: in-place cache write + attention (B == 1) ---
-        pos_b = pos_ref[0]
-        eb = (pos_b // R) * R
-        li = layer_ref[0]
 
-        def write_tile(kpb, vpb, psem, wsem):
-            """Read the aligned 8-row tile containing pos, merge the new
-            K/V row on the VPU, write it back (returns the write copies to
-            wait on). Chunk reads below use PRE-update rows; row pos is
-            masked out of the slab scores and fixed up from VMEM."""
-            pk = pltpu.make_async_copy(
-                kc_ref.at[li, 0, :, pl.ds(eb, R)], kpb, psem.at[0])
-            pv = pltpu.make_async_copy(
-                vc_ref.at[li, 0, :, pl.ds(eb, R)], vpb, psem.at[1])
-            pk.start()
-            pv.start()
-            pk.wait()
-            pv.wait()
+        def write_tile():
+            """Merge the new K/V row into the pre-read aligned 8-row tile
+            containing pos (the read DMA started in step 0) and write it
+            back (returns the write copies to wait on). Chunk reads use
+            PRE-update rows; row pos is masked out of the slab scores
+            and fixed up from VMEM."""
+            pltpu.make_async_copy(
+                kc_ref.at[li, 0, :, pl.ds(eb, R)], kpb, psem.at[0]).wait()
+            pltpu.make_async_copy(
+                vc_ref.at[li, 0, :, pl.ds(eb, R)], vpb, psem.at[1]).wait()
             row = jax.lax.broadcasted_iota(
                 jnp.int32, (Hkv, R, D), 1) == (pos_b - eb)
             kpb[...] = jnp.where(row, knbuf[...].astype(kpb.dtype),
@@ -147,18 +211,15 @@ def _attn_block_kernel(thr_ref, layer_ref, pos_ref, x3_ref, cs_ref, *refs,
             wv.start()
             return wk, wv
 
-        def oneshot(kb, vb, kpb, vpb, sem, psem, wsem):
-            ck = pltpu.make_async_copy(kc_ref.at[li, 0], kb, sem.at[0, 0])
-            cv = pltpu.make_async_copy(vc_ref.at[li, 0], vb, sem.at[0, 1])
-            ck.start()
-            cv.start()
-            wk, wv = write_tile(kpb, vpb, psem, wsem)
+        def oneshot():
+            wk, wv = write_tile()
             tpos = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
             valid = tpos < pos_b            # current token handled apart
             if window is not None:
                 valid &= tpos > pos_b - window
-            ck.wait()
-            cv.wait()
+            # full-cache read started in step 0
+            pltpu.make_async_copy(kc_ref.at[li, 0], kb, sem.at[0, 0]).wait()
+            pltpu.make_async_copy(vc_ref.at[li, 0], vb, sem.at[0, 1]).wait()
 
             def hloop(hh, _):
                 k_ = kb[hh].astype(jnp.float32)           # [T, D]
@@ -175,27 +236,16 @@ def _attn_block_kernel(thr_ref, layer_ref, pos_ref, x3_ref, cs_ref, *refs,
                     e = jnp.where(valid, jnp.exp(s - m), 0.0)
                     ec = jnp.exp(sc - m)
                     den = jnp.sum(e) + ec
-                    o_ref[hq] = (
+                    o_ref[hq] = ((
                         jnp.sum(v_ * e, axis=0, keepdims=True) + ec * vn
-                    ) * (1.0 / den)
+                    ) * (1.0 / den)).astype(o_ref.dtype)
                 return ()
 
             jax.lax.fori_loop(0, Hkv, hloop, ())
             wk.wait()
             wv.wait()
 
-        def chunked(kb, vb, kpb, vpb, m_ref, d_ref, a_ref, sem, psem,
-                    wsem):
-            def start_chunk(ci, slot):
-                ck = pltpu.make_async_copy(
-                    kc_ref.at[li, 0, :, pl.ds(ci * C, C)],
-                    kb.at[pl.ds(slot * Hkv, Hkv)], sem.at[slot, 0])
-                cv = pltpu.make_async_copy(
-                    vc_ref.at[li, 0, :, pl.ds(ci * C, C)],
-                    vb.at[pl.ds(slot * Hkv, Hkv)], sem.at[slot, 1])
-                ck.start()
-                cv.start()
-
+        def chunked():
             def wait_chunk(slot):
                 buf = pl.ds(slot * Hkv, Hkv)
                 pltpu.make_async_copy(kb.at[buf], kb.at[buf],
@@ -203,16 +253,12 @@ def _attn_block_kernel(thr_ref, layer_ref, pos_ref, x3_ref, cs_ref, *refs,
                 pltpu.make_async_copy(vb.at[buf], vb.at[buf],
                                       sem.at[slot, 1]).wait()
 
-            if window is None:
-                lo = jnp.int32(0)
-            else:
-                lo = jnp.maximum(pos_b - window + 1, 0) // C
             hi = pos_b // C + 1
-            start_chunk(lo, lo % 2)
+            # first chunk's read started in step 0
             m_ref[...] = jnp.full_like(m_ref, neg)
             d_ref[...] = jnp.zeros_like(d_ref)
             a_ref[...] = jnp.zeros_like(a_ref)
-            wk, wv = write_tile(kpb, vpb, psem, wsem)
+            wk, wv = write_tile()
 
             def cloop(ci, _):
                 slot = jax.lax.rem(ci, 2)
@@ -264,9 +310,9 @@ def _attn_block_kernel(thr_ref, layer_ref, pos_ref, x3_ref, cs_ref, *refs,
                     corr = jnp.exp(m_old - m_fin)
                     ec = jnp.exp(sc - jnp.max(m_fin))
                     den = d_ref[hq] * corr + ec               # [1, LANES]
-                    o_ref[hq] = (
+                    o_ref[hq] = ((
                         a_ref[hq] * corr[:, :1] + ec * vn
-                    ) * (1.0 / den[:, :1])
+                    ) * (1.0 / den[:, :1])).astype(o_ref.dtype)
                 return ()
 
             jax.lax.fori_loop(0, Hkv, hfin, ())
@@ -274,30 +320,9 @@ def _attn_block_kernel(thr_ref, layer_ref, pos_ref, x3_ref, cs_ref, *refs,
             wv.wait()
 
         if C == T:
-            pl.run_scoped(
-                oneshot,
-                pltpu.VMEM((Hkv, T, D), kc_ref.dtype),
-                pltpu.VMEM((Hkv, T, D), vc_ref.dtype),
-                pltpu.VMEM((Hkv, ROWTILE, D), kc_ref.dtype),
-                pltpu.VMEM((Hkv, ROWTILE, D), vc_ref.dtype),
-                pltpu.SemaphoreType.DMA((1, 2)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-            )
+            oneshot()
         else:
-            pl.run_scoped(
-                chunked,
-                pltpu.VMEM((2 * Hkv, C, D), kc_ref.dtype),
-                pltpu.VMEM((2 * Hkv, C, D), vc_ref.dtype),
-                pltpu.VMEM((Hkv, ROWTILE, D), kc_ref.dtype),
-                pltpu.VMEM((Hkv, ROWTILE, D), vc_ref.dtype),
-                pltpu.VMEM((Hq, 1, LANES), jnp.float32),   # running max
-                pltpu.VMEM((Hq, 1, LANES), jnp.float32),   # running denom
-                pltpu.VMEM((Hq, 1, D), jnp.float32),       # running PV acc
-                pltpu.SemaphoreType.DMA((2, 2)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-            )
+            chunked()
 
     extra = []
     if norm:
@@ -306,6 +331,29 @@ def _attn_block_kernel(thr_ref, layer_ref, pos_ref, x3_ref, cs_ref, *refs,
         extra = [pltpu.VMEM((nb, 1, LANES), x3_ref.dtype),
                  pltpu.VMEM((_norm_rows(nb), LANES), norm_ref.dtype),
                  pltpu.SemaphoreType.DMA(())]
+    if C == T:
+        attn_bufs = [
+            pltpu.VMEM((Hkv, T, D), kc_ref.dtype),
+            pltpu.VMEM((Hkv, T, D), vc_ref.dtype),
+            pltpu.VMEM((Hkv, ROWTILE, D), kc_ref.dtype),
+            pltpu.VMEM((Hkv, ROWTILE, D), vc_ref.dtype),
+            pltpu.SemaphoreType.DMA((1, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        attn_bufs = [
+            pltpu.VMEM((2 * Hkv, C, D), kc_ref.dtype),
+            pltpu.VMEM((2 * Hkv, C, D), vc_ref.dtype),
+            pltpu.VMEM((Hkv, ROWTILE, D), kc_ref.dtype),
+            pltpu.VMEM((Hkv, ROWTILE, D), vc_ref.dtype),
+            pltpu.VMEM((Hq, 1, LANES), jnp.float32),   # running max
+            pltpu.VMEM((Hq, 1, LANES), jnp.float32),   # running denom
+            pltpu.VMEM((Hq, 1, D), jnp.float32),       # running PV acc
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     pl.run_scoped(
         outer,
         pltpu.VMEM((Hq, 1, D), jnp.float32),     # post-RoPE scaled q
@@ -316,16 +364,17 @@ def _attn_block_kernel(thr_ref, layer_ref, pos_ref, x3_ref, cs_ref, *refs,
         pltpu.SMEM((cap,), jnp.int32),
         pltpu.SemaphoreType.DMA(()),
         *extra,
+        *attn_bufs,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("G", "cap", "depth",
                                              "norm_eps", "window",
-                                             "n_heads"))
+                                             "n_heads", "fixed_sel"))
 def attn_block(x3, thr, ws, cos, sin, kc_all, vc_all, layer, pos, *,
                G: int, cap: int, n_heads: int, depth: Optional[int] = None,
                norm3=None, norm_eps: float = 1e-5,
-               window: Optional[int] = None):
+               window: Optional[int] = None, fixed_sel: bool = False):
     """One-launch attention block for single-token decode (batch 1).
 
     x3:   [nb, 1, 128] packed residual stream (RAW when norm3 is given,
@@ -372,6 +421,7 @@ def attn_block(x3, thr, ws, cos, sin, kc_all, vc_all, layer, pos, *,
         _attn_block_kernel, G=G, plans=plans, nb=nb, cap=cap, depth=depth,
         norm=norm3 is not None, norm_eps=norm_eps, Hq=n_heads, Hkv=Hkv,
         T=T, D=D, C=C, window=window, scale=1.0 / (D ** 0.5),
+        fixed_sel=fixed_sel,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,   # thr, layer, pos

@@ -393,10 +393,34 @@ def _norm_fold(x3_ref, norm_ref, xn_ref, g_ref, gsem, layer_ref, *,
 
 
 def _select_scan(thr, x_ref, scores_v, scores_s, idx_s, ssem, *,
-                 nb: int, cap: int):
+                 nb: int, cap: int, fixed: bool = False,
+                 ramp_start=None, ramp_depth: int = 0):
     """VPU group scores -> SMEM -> scalar-core threshold+capacity scan.
-    Fills idx_s (padded with the last survivor) and returns the survivor
-    count (the unified selection rule: first `cap` survivors by index)."""
+    Fills idx_s and returns the survivor count (the unified selection
+    rule: first `cap` survivors by index). idx_s entries beyond the
+    count are left unwritten — `_gather_loop` guards every read with
+    `j < count`.
+
+    `ramp_start(slot, gidx)` (with `ramp_depth` = the gather pipeline
+    depth): issue the first `ramp_depth - 1` survivors' weight DMAs
+    from INSIDE the scan as they are found, so the gather ramp runs
+    under the rest of the scalar scan instead of after it (the caller
+    then passes skip_ramp=True to `_gather_loop`).
+
+    `fixed` (diagnostic, `SparsityConfig.debug_fixed_selection`): skip
+    the whole selection head and keep groups 0..cap-1 — same DMA/MXU
+    work at full capacity, no scores/SMEM/scalar scan. Isolates the
+    selection latency at each launch. NOT a production mode."""
+    if fixed:
+        def fill(j, _):
+            idx_s[j] = j
+            return ()
+
+        jax.lax.fori_loop(0, cap, fill, ())
+        if ramp_start is not None:
+            for j in range(min(ramp_depth - 1, cap)):
+                ramp_start(j, j)
+        return cap
     scores_v[...] = jnp.max(
         jnp.abs(x_ref[:, 0, :].astype(jnp.float32)),
         axis=-1, keepdims=True,
@@ -411,36 +435,34 @@ def _select_scan(thr, x_ref, scores_v, scores_s, idx_s, ssem, *,
         @pl.when(keep)
         def _():
             idx_s[cnt] = i
+            if ramp_start is not None:
+                @pl.when(cnt < ramp_depth - 1)
+                def _():
+                    ramp_start(cnt, i)
 
         return cnt + jax.lax.select(keep, 1, 0)
 
-    count = jax.lax.fori_loop(0, nb, scan_body, 0)
-
-    def pad_body(j, _):
-        @pl.when(j >= count)
-        def _():
-            idx_s[j] = idx_s[jnp.maximum(count - 1, 0)]
-
-        return ()
-
-    jax.lax.fori_loop(0, cap, pad_body, ())
-    return count
+    return jax.lax.fori_loop(0, nb, scan_body, 0)
 
 
 def _gather_loop(plans, w_ref_groups, bufs, sems, layer_ref, x_ref, idx_s,
-                 count, acc, offs, *, G: int, cap: int, depth: int):
+                 count, acc, offs, *, G: int, cap: int, depth: int,
+                 skip_ramp: bool = False):
     """Pipelined gather+MXU-accumulate over the first `count` kept groups
-    (indices in idx_s). Shared by the fused-select kernel and the fused
-    attention-block kernel."""
+    (indices in idx_s). Shared by the fused-select kernel, the fused
+    attention-block kernel, and the whole-token kernel. `skip_ramp`:
+    the first depth-1 DMA sets were already issued by the caller (from
+    inside the selection scan, see `_select_scan(ramp_start=...)`)."""
     def start(slot, j):
         for wi, p in enumerate(plans):
             _start_dmas(p, w_ref_groups[wi], bufs[wi], sems[wi],
                         layer_ref, slot, idx_s[j], G)
 
-    for j in range(min(depth - 1, cap)):
-        @pl.when(j < count)
-        def _(j=j):
-            start(j, j)
+    if not skip_ramp:
+        for j in range(min(depth - 1, cap)):
+            @pl.when(j < count)
+            def _(j=j):
+                start(j, j)
 
     acc[...] = jnp.zeros_like(acc)
 
@@ -467,7 +489,8 @@ def _fused_select_gather_kernel(thr_ref, layer_ref, x3_ref, *refs, G: int,
                                 plans, nb: int, cap: int, depth: int,
                                 norm: bool = False, norm_eps: float = 0.0,
                                 out_packed: bool = False,
-                                res: bool = False, silu_pair: bool = False):
+                                res: bool = False, silu_pair: bool = False,
+                                fixed_sel: bool = False):
     """Selection fused into the gather: group scores are reduced on the
     VPU, DMA'd to SMEM, and a scalar-core scan over the `nb` groups builds
     the kept-index list and issues the weight DMAs — no XLA top-k /
@@ -525,14 +548,22 @@ def _fused_select_gather_kernel(thr_ref, layer_ref, x3_ref, *refs, G: int,
         else:
             x_ref = x3_ref
 
-        # 1-3. scores + scalar-core threshold/capacity scan
+        # 1-3. scores + scalar-core threshold/capacity scan; the first
+        # depth-1 survivors' weight DMAs issue from inside the scan
+        def ramp(slot, gidx):
+            for wi, p in enumerate(plans):
+                _start_dmas(p, w_ref_groups[wi], bufs[wi], sems[wi],
+                            layer_ref, slot, gidx, G)
+
         count = _select_scan(thr_ref[0], x_ref, scores_v, scores_s, idx_s,
-                             ssem, nb=nb, cap=cap)
+                             ssem, nb=nb, cap=cap, fixed=fixed_sel,
+                             ramp_start=ramp, ramp_depth=depth)
         cnt_s[0] = count
 
         # 4. gather + accumulate (same structure as the prefetch kernel)
         _gather_loop(plans, w_ref_groups, bufs, sems, layer_ref, x_ref,
-                     idx_s, count, acc, offs, G=G, cap=cap, depth=depth)
+                     idx_s, count, acc, offs, G=G, cap=cap, depth=depth,
+                     skip_ramp=True)
         if silu_pair:
             for j in range(plans[0].N // LANES):
                 g_ = acc[0:1, j * LANES:(j + 1) * LANES]
@@ -567,12 +598,14 @@ def _fused_select_gather_kernel(thr_ref, layer_ref, x3_ref, *refs, G: int,
 
 
 @functools.partial(jax.jit, static_argnames=("G", "cap", "out_dtype",
-                                             "depth", "norm_eps"))
+                                             "depth", "norm_eps",
+                                             "fixed_sel"))
 def fused_select_gather_gemv(x3, thr, ws, *, G: int, cap: int,
                              out_dtype=jnp.bfloat16,
                              depth: Optional[int] = None,
                              layer=None, norm3=None,
-                             norm_eps: float = 1e-5):
+                             norm_eps: float = 1e-5,
+                             fixed_sel: bool = False):
     """Threshold-mode sparse GEMV with in-kernel selection.
 
     x3:  [nb, 8, 128] — group g's x values in lanes [:G], replicated over
@@ -604,6 +637,7 @@ def fused_select_gather_gemv(x3, thr, ws, *, G: int, cap: int,
     kernel = functools.partial(
         _fused_select_gather_kernel, G=G, plans=plans, nb=nb, cap=cap,
         depth=depth, norm=norm3 is not None, norm_eps=norm_eps,
+        fixed_sel=fixed_sel,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # thr, layer
@@ -638,13 +672,14 @@ def fused_select_gather_gemv(x3, thr, ws, *, G: int, cap: int,
 
 @functools.partial(jax.jit, static_argnames=("G", "cap", "out_dtype",
                                              "depth", "norm_eps",
-                                             "silu_pair"))
+                                             "silu_pair", "fixed_sel"))
 def fused_select_gather_packed(x3, thr, ws, *, G: int, cap: int,
                                out_dtype=jnp.bfloat16,
                                depth: Optional[int] = None,
                                layer=None, norm3=None,
                                norm_eps: float = 1e-5, res3=None,
-                               silu_pair: bool = False):
+                               silu_pair: bool = False,
+                               fixed_sel: bool = False):
     """Packed-pipeline projection (G == 128 decode, batch 1): in-kernel
     threshold selection like `fused_select_gather_gemv`, but the output
     comes back in the kernels' packed-row layout [n_out/128, 1, 128] —
@@ -678,6 +713,7 @@ def fused_select_gather_packed(x3, thr, ws, *, G: int, cap: int,
         _fused_select_gather_kernel, G=G, plans=plans, nb=nb, cap=cap,
         depth=depth, norm=norm3 is not None, norm_eps=norm_eps,
         out_packed=True, res=res3 is not None, silu_pair=silu_pair,
+        fixed_sel=fixed_sel,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # thr, layer

@@ -1,0 +1,289 @@
+"""Whole-token decode kernel: every transformer layer in ONE Pallas launch.
+
+The packed pipeline (models/llama.py:_packed_layer) already chains a
+layer through 4 Pallas launches with zero XLA ops between them — but
+each launch still pays a ~3.7 us head (measured, docs/KERNEL_NOTES.md
+"Folded norms"), the in-kernel selection head (~1.9 us, measured with
+`bench.py --fixed-selection`), and lands its packed activation rows in
+HBM for the next launch to re-load. At 7B that is 4 launches x 32
+layers = 128 heads ~= 0.5 ms of a ~10 ms token.
+
+This kernel runs the WHOLE layer stack as one `pallas_call` with
+`grid=(n_layers,)`: TPU grid steps execute sequentially on the core, so
+the packed residual stream lives in a persistent VMEM scratch across
+steps and each grid step is one transformer layer —
+
+  1. fused attention block (`attn_block.attn_stage`: folded rms_norm,
+     scalar-core threshold selection, pipelined QKV gather, RoPE,
+     in-place stacked-cache write, chunked online-softmax attention)
+  2. o-projection (+ residual add into the VMEM stream)
+  3. gate/up pair (+ folded mlp rms_norm, silu*mul)
+  4. down-projection (+ residual add)
+
+One launch per token for the entire layer stack; activations never
+leave VMEM; the layer index is `pl.program_id(0)` so all weights stay
+layer-stacked `[L, K, N]` in HBM and each stage's gather DMAs slice
+layer `i` directly (no XLA slicing anywhere).
+
+Semantics are identical to the 4-launch packed pipeline (same unified
+selection rule, same cast points; pinned by
+tests/test_kernels.py::test_token_kernel_model_equivalence). The
+reference has no analog — its decode step is ~450 separate CUDA
+launches per token (gpt-fast eager mode) or a CUDA-graph replay of the
+same; here the whole stack is one fused program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from teal_tpu.ops import decode_attention as _da
+from teal_tpu.ops.attn_block import attn_stage
+from teal_tpu.ops.block_gemv import (LANES, SUBLANES, _gather_loop,
+                                     _norm_fold, _norm_rows, _pick_depth,
+                                     _plan_weights, _scoped_buffers,
+                                     _select_scan, _start_dmas)
+from teal_tpu.ops.decode_attention import ROWTILE
+
+
+def _proj_stage(thr, layer_ref, x_buf, out_write, plans, w_ref_groups, *,
+                G: int, nb: int, cap: int, depth: int, norm_ref=None,
+                norm_eps: float = 0.0, fixed_sel: bool = False):
+    """One packed projection stage inside the token kernel: optional
+    folded rms_norm -> threshold selection -> pipelined gather + MXU
+    accumulate -> `out_write(acc)` consumes the [8, n_tot] fp32
+    accumulator (residual add / silu*mul / cast happen in the writer).
+    x_buf is a VMEM buffer in the packed-row layout [nb, 1, 128]."""
+    offs = [0]
+    for p in plans:
+        offs.append(offs[-1] + p.N)
+
+    def body(*scoped):
+        if norm_ref is not None:
+            xn_ref, g_ref, gsem = scoped[-3:]
+            scoped = scoped[:-3]
+        scores_v, scores_s, idx_s, ssem = scoped[-4:]
+        bufs, sems, acc = _unpack(scoped[:-4])
+        if norm_ref is not None:
+            _norm_fold(x_buf, norm_ref, xn_ref, g_ref, gsem, layer_ref,
+                       nb=nb, G=G, norm_eps=norm_eps)
+            x_ref = xn_ref
+        else:
+            x_ref = x_buf
+        def ramp(slot, gidx):
+            for wi, p in enumerate(plans):
+                _start_dmas(p, w_ref_groups[wi], bufs[wi], sems[wi],
+                            layer_ref, slot, gidx, G)
+
+        count = _select_scan(thr, x_ref, scores_v, scores_s, idx_s, ssem,
+                             nb=nb, cap=cap, fixed=fixed_sel,
+                             ramp_start=ramp, ramp_depth=depth)
+        _gather_loop(plans, w_ref_groups, bufs, sems, layer_ref, x_ref,
+                     idx_s, count, acc, offs, G=G, cap=cap, depth=depth,
+                     skip_ramp=True)
+        out_write(acc)
+
+    scope_args, _unpack = _scoped_buffers(plans, G, depth, offs[-1])
+    extra = []
+    if norm_ref is not None:
+        extra = [pltpu.VMEM((nb, 1, LANES), x_buf.dtype),
+                 pltpu.VMEM((_norm_rows(nb), LANES), norm_ref.dtype),
+                 pltpu.SemaphoreType.DMA(())]
+    pl.run_scoped(
+        body,
+        *scope_args,
+        pltpu.VMEM((nb, 1), jnp.float32),
+        pltpu.SMEM((nb, 1), jnp.float32),
+        pltpu.SMEM((cap,), jnp.int32),
+        pltpu.SemaphoreType.DMA(()),
+        *extra,
+    )
+
+
+def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
+                  I: int, Hq: int, Hkv: int, T: int, C: int,
+                  window: Optional[int], norm_eps: float, caps, depths,
+                  plan_groups, scale: float, fixed_sel: bool):
+    na_ref, nm_ref = refs[0], refs[1]
+    k = 2
+    w_groups = []   # per stage: one refs-tuple per weight operand
+    for plans in plan_groups:
+        grp = []
+        for p in plans:
+            grp.append(tuple(refs[k:k + p.n_dma]))
+            k += p.n_dma
+        w_groups.append(grp)
+    kc_in, vc_in = refs[k], refs[k + 1]
+    h3_out, kc_ref, vc_ref = refs[k + 2:k + 5]
+    h3_s, attn3_s, inter3_s, li_s = refs[k + 5:k + 9]
+    del kc_in, vc_in      # aliased: kc_ref/vc_ref are the same buffers
+
+    li = pl.program_id(0)
+    li_s[0] = li
+
+    @pl.when(li == 0)
+    def _():
+        h3_s[...] = x3_ref[...]
+
+    nbD, nbI = D // LANES, I // LANES
+
+    # --- stage 1: fused attention block -> attn3_s (cache dtype) ---
+    attn_stage(thr_ref[li, 0], li_s, pos_ref[0], h3_s, cs_ref, na_ref,
+               w_groups[0], kc_ref, vc_ref, attn3_s,
+               G=LANES, plans=plan_groups[0], nb=nbD, cap=caps[0],
+               depth=depths[0], norm_eps=norm_eps, Hq=Hq, Hkv=Hkv,
+               T=T, D=LANES, C=C, window=window, scale=scale,
+               fixed_sel=fixed_sel)
+
+    # --- stage 2: o-proj, residual add into the stream ---
+    def write_o(acc):
+        for j in range(nbD):
+            row = acc[0:1, j * LANES:(j + 1) * LANES] \
+                + h3_s[j].astype(jnp.float32)
+            h3_s[j] = row.astype(h3_s.dtype)
+
+    _proj_stage(thr_ref[li, 3], li_s, attn3_s, write_o, plan_groups[1],
+                w_groups[1], G=LANES, nb=nbD, cap=caps[1],
+                depth=depths[1], fixed_sel=fixed_sel)
+
+    # --- stage 3: gate/up pair (folded mlp norm), silu*mul ---
+    def write_gu(acc):
+        for j in range(nbI):
+            g_ = acc[0:1, j * LANES:(j + 1) * LANES]
+            u_ = acc[0:1, I + j * LANES:I + (j + 1) * LANES]
+            inter3_s[j] = (g_ * (1.0 / (1.0 + jnp.exp(-g_))) * u_) \
+                .astype(inter3_s.dtype)
+
+    _proj_stage(thr_ref[li, 4], li_s, h3_s, write_gu, plan_groups[2],
+                w_groups[2], G=LANES, nb=nbD, cap=caps[2],
+                depth=depths[2], norm_ref=nm_ref, norm_eps=norm_eps,
+                fixed_sel=fixed_sel)
+
+    # --- stage 4: down-proj, residual add ---
+    def write_dn(acc):
+        for j in range(nbD):
+            row = acc[0:1, j * LANES:(j + 1) * LANES] \
+                + h3_s[j].astype(jnp.float32)
+            h3_s[j] = row.astype(h3_s.dtype)
+
+    _proj_stage(thr_ref[li, 6], li_s, inter3_s, write_dn, plan_groups[3],
+                w_groups[3], G=LANES, nb=nbI, cap=caps[3],
+                depth=depths[3], fixed_sel=fixed_sel)
+
+    @pl.when(li == L - 1)
+    def _():
+        h3_out[...] = h3_s[...]
+
+
+@functools.partial(jax.jit, static_argnames=("caps", "n_heads", "norm_eps",
+                                             "window", "fixed_sel"))
+def token_decode(x3, thresholds, ws, norm_attn3, norm_mlp3, cos, sin,
+                 kc_all, vc_all, pos, *, caps, n_heads: int,
+                 norm_eps: float = 1e-5, window: Optional[int] = None,
+                 fixed_sel: bool = False):
+    """One-launch decode of the whole layer stack (batch 1, G == 128).
+
+    x3:  [dim/128, 1, 128] packed RAW residual stream (embedding row)
+    thresholds: [L, 7] f32 per-layer calibrated group thresholds
+    ws:  (wq, wk, wv, wo, wgate, wup, wdown), each layer-stacked
+         [L, K, N] (bf16/fp32 arrays or packed-int4 dicts)
+    norm_attn3/norm_mlp3: packed stacked rms_norm gains (`pack_norm3`)
+    cos/sin: [D_head] f32 RoPE rows at the current position
+    kc_all/vc_all: [L, 1, Hkv, T, 128] stacked caches, updated in place
+    pos: traced int32 scalar position
+    caps: static per-stage gather capacities (qkv, o, gate/up, down)
+
+    Returns (h3' [dim/128, 1, 128], kc_all, vc_all).
+    """
+    L, B, Hkv, T, Dh = kc_all.shape
+    assert B == 1 and Dh == LANES and T % ROWTILE == 0, kc_all.shape
+    nbD = x3.shape[0]
+    D = nbD * LANES
+    assert n_heads * Dh == D, (n_heads, D)
+    plan_groups = (
+        _plan_weights(tuple(ws[0:3])),     # q, k, v
+        _plan_weights((ws[3],)),           # o
+        _plan_weights(tuple(ws[4:6])),     # gate, up
+        _plan_weights((ws[6],)),           # down
+    )
+    I = plan_groups[2][0].N
+    nbI = I // LANES
+    depths = tuple(
+        _pick_depth(plans, LANES, budget=(7 << 20) if gi == 0 else 9 << 20)
+        for gi, plans in enumerate(plan_groups)
+    )
+    flat = [a for plans in plan_groups for p in plans for a in p.arrays]
+
+    C = _da.CHUNK if T % _da.CHUNK == 0 else T
+    if C != T:
+        while (4 * Hkv * C * Dh * kc_all.dtype.itemsize > (4 << 20)
+               and C % 2 == 0 and C > 128 and T % (C // 2) == 0):
+            C //= 2
+
+    na = norm_attn3.reshape(-1, norm_attn3.shape[-1])
+    nm = norm_mlp3.reshape(-1, norm_mlp3.shape[-1])
+    cs = jnp.stack([jnp.asarray(cos, jnp.float32).reshape(Dh),
+                    jnp.asarray(sin, jnp.float32).reshape(Dh)])
+    pos = jnp.asarray(pos, jnp.int32).reshape(-1)[:1]
+
+    kernel = functools.partial(
+        _token_kernel, L=L, D=D, I=I, Hq=n_heads, Hkv=Hkv, T=T, C=C,
+        window=window, norm_eps=norm_eps, caps=tuple(caps), depths=depths,
+        plan_groups=plan_groups, scale=1.0 / (Dh ** 0.5),
+        fixed_sel=fixed_sel,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,   # thresholds [L, 7], pos [1]
+        grid=(L,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),     # x3
+                  pl.BlockSpec(memory_space=pltpu.VMEM)]     # cos/sin
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (2 + len(flat) + 2),
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # h3'
+            pl.BlockSpec(memory_space=pl.ANY),               # kc
+            pl.BlockSpec(memory_space=pl.ANY),               # vc
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nbD, 1, LANES), x3.dtype),           # h3 stream
+            pltpu.VMEM((n_heads, 1, LANES), kc_all.dtype),   # attn rows
+            pltpu.VMEM((nbI, 1, LANES), x3.dtype),           # mlp inter
+            pltpu.SMEM((1,), jnp.int32),                     # layer idx
+        ],
+    )
+    # flattened operand indices: thr 0, pos 1, x3 2, cs 3, norms 4-5,
+    # *flat, kc, vc
+    kc_idx = 6 + len(flat)
+    weight_bytes = sum(
+        cap * sum((LANES // 2 if p.kind == "int4" else LANES) * p.N
+                  * p.arrays[0].dtype.itemsize for p in plans)
+        for cap, plans in zip(
+            (caps[0], caps[1], caps[2], caps[3]), plan_groups)
+    )
+    h3_out, kc_all, vc_all = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nbD, 1, LANES), x3.dtype),
+            jax.ShapeDtypeStruct(kc_all.shape, kc_all.dtype),
+            jax.ShapeDtypeStruct(vc_all.shape, vc_all.dtype),
+        ],
+        input_output_aliases={kc_idx: 1, kc_idx + 1: 2},
+        cost_estimate=pl.CostEstimate(
+            flops=L * (2 * SUBLANES * LANES
+                       * (caps[0] * (D + 2 * Hkv * Dh) + caps[1] * D
+                          + caps[2] * 2 * I + caps[3] * D)
+                       + 4 * n_heads * T * Dh),
+            bytes_accessed=L * (weight_bytes
+                                + 2 * Hkv * T * Dh
+                                * kc_all.dtype.itemsize),
+            transcendentals=L * (n_heads * T + I),
+        ),
+    )(thresholds.astype(jnp.float32), pos, x3, cs, na, nm, *flat,
+      kc_all, vc_all)
+    return h3_out, kc_all, vc_all

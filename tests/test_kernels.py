@@ -716,3 +716,50 @@ def test_packed_pipeline_model_equivalence():
                                    err_msg=f"pos={p}")
         np.testing.assert_allclose(np.asarray(cg.k), np.asarray(cr.k),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_token_kernel_model_equivalence():
+    """Whole-token kernel (ONE launch, grid over layers, residual stream
+    in persistent VMEM) == the 4-launch packed pipeline == the
+    per-kernel fallback; per-layer thresholds exercised via the
+    scalar-prefetched [L, 7] table, GQA via n_kv_heads < n_heads."""
+    from teal_tpu.config import get_model_config
+    from teal_tpu.models import llama
+    from teal_tpu.models.llama import KVCache
+
+    cfg = get_model_config("tiny", n_layers=3, n_heads=2, n_kv_heads=1,
+                           dim=256, intermediate_size=384, vocab_size=128)
+    assert cfg.head_dim == 128
+    params = llama.init_params(cfg, jax.random.PRNGKey(7), jnp.float32)
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                        block_keep_frac=0.75, block_thresholding=True,
+                        fused_decode_attention=True)
+    # distinct per-layer, per-projection thresholds
+    th = (0.01 + 0.02 * jnp.arange(cfg.n_layers * 7, dtype=jnp.float32)
+          .reshape(cfg.n_layers, 7) / (cfg.n_layers * 7))
+    for p in (0, 5, 15):
+        cache = KVCache.init(cfg, 1, 16, jnp.float32)
+        cache = KVCache(
+            k=jax.random.normal(jax.random.PRNGKey(p), cache.k.shape,
+                                jnp.float32) * 0.1,
+            v=jax.random.normal(jax.random.PRNGKey(p + 1), cache.v.shape,
+                                jnp.float32) * 0.1)
+        tok = jnp.asarray([[3 + p]], jnp.int32)
+        got, cg = llama.forward(params, tok, cache, p, th, cfg=cfg, sp=sp)
+        mid, cm = llama.forward(params, tok, cache, p, th, cfg=cfg,
+                                sp=sp.replace(token_fused=False))
+        ref, cr = llama.forward(
+            params, tok, cache, p, th, cfg=cfg,
+            sp=sp.replace(token_fused=False, packed_pipeline=False))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(mid),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"token-vs-packed pos={p}")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"token-vs-perkernel pos={p}")
+        np.testing.assert_allclose(np.asarray(cg.k), np.asarray(cm.k),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(cg.v), np.asarray(cm.v),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(cg.k), np.asarray(cr.k),
+                                   rtol=1e-5, atol=1e-6)
