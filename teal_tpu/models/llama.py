@@ -521,7 +521,14 @@ def _can_packed_pipeline(params, cfg: ModelConfig, sp: SparsityConfig,
         return False
     lay = params["layers"]
     if isinstance(lay["wq"], dict) and "q" in lay["wq"]:
-        return False   # int8 weight-only
+        # int8 weight-only: the whole-token kernel applies the
+        # per-out-channel scale to the fp32 accumulator in its stage
+        # writers; the 4-launch packed pipeline has no scale fold, so
+        # int8 runs the packed path ONLY via the token kernel
+        if sp.token_fused is False or not all(
+                isinstance(lay[n], dict) and "q" in lay[n]
+                for n in ("wk", "wv", "wo", "wgate", "wup", "wdown")):
+            return False
     kf = sp.block_keep_fracs or (sp.block_keep_frac,) * 7
     if not (kf[0] == kf[1] == kf[2] and kf[4] == kf[5]):
         return False

@@ -83,7 +83,7 @@ def attn_stage(thr, layer_ref, pos_b, x3_ref, cs_ref, norm_ref,
                w_ref_groups, kc_ref, vc_ref, o_ref, *, G: int, plans,
                nb: int, cap: int, depth: int, norm_eps: float, Hq: int,
                Hkv: int, T: int, D: int, C: int, window: Optional[int],
-               scale: float, fixed_sel: bool = False):
+               scale: float, fixed_sel: bool = False, scale_ref=None):
     """The whole attention block as an in-kernel stage: (folded norm +)
     selection + QKV gather + RoPE + in-place cache write + attention.
     Called by `_attn_block_kernel` (one launch per layer) and by the
@@ -91,11 +91,19 @@ def attn_stage(thr, layer_ref, pos_b, x3_ref, cs_ref, norm_ref,
 
     thr/pos_b: scalar values; x3_ref/o_ref may be kernel refs OR VMEM
     scratch buffers (o_ref's dtype decides the output cast); norm_ref
-    None disables the folded rms_norm."""
+    None disables the folded rms_norm.
+
+    `scale_ref` (int8 weight-only mode): packed per-out-channel q/k/v
+    scales aligned with the accumulator's 128-lane column tiles
+    (stacked [L*nbp, 128] f32); applied to the fp32 accumulator BEFORE
+    RoPE — equivalent to dequantizing the weights."""
+    from teal_tpu.ops.block_gemv import _norm_rows, _slab_copy
+
     norm = norm_ref is not None
     offs = [0]
     for p in plans:
         offs.append(offs[-1] + p.N)
+    nbs = _norm_rows(offs[-1] // LANES)
     R = ROWTILE
     GH = Hq // Hkv
     half = D // 2
@@ -105,6 +113,10 @@ def attn_stage(thr, layer_ref, pos_b, x3_ref, cs_ref, norm_ref,
         if norm:
             xn_ref, g_ref, gsem = rest[:3]
             rest = rest[3:]
+        if scale_ref is not None:
+            sbuf, s2sem = rest[:2]
+            rest = rest[2:]
+            _slab_copy(scale_ref, sbuf, s2sem, layer_ref, nbs).start()
         li = layer_ref[0]
         eb = (pos_b // R) * R
         if C == T:
@@ -168,6 +180,16 @@ def attn_stage(thr, layer_ref, pos_b, x3_ref, cs_ref, norm_ref,
                          G=G, cap=cap, depth=depth, skip_ramp=True)
             cos = cs_ref[0:1, :]                       # [1, D]
             sin = cs_ref[1:2, :]
+            if scale_ref is not None:
+                assert D == LANES  # scale rows map 1:1 to head columns
+                _slab_copy(scale_ref, sbuf, s2sem, layer_ref, nbs).wait()
+
+            def col(off, h):          # [1, D] f32 accumulator column,
+                c = acc[0:1, off + h * D:off + (h + 1) * D]
+                if scale_ref is not None:   # int8 dequant scale pre-RoPE
+                    j = (off + h * D) // LANES
+                    c = c * sbuf[j:j + 1, :]
+                return c
 
             def rope(row):                             # [1, D] f32
                 rot = jnp.concatenate([-row[:, half:], row[:, :half]],
@@ -175,12 +197,10 @@ def attn_stage(thr, layer_ref, pos_b, x3_ref, cs_ref, norm_ref,
                 return row * cos + rot * sin
 
             for h in range(Hq):       # static slices: D == one lane tile
-                qh = acc[0:1, offs[0] + h * D:offs[0] + (h + 1) * D]
-                qbuf[h] = rope(qh) * scale   # score scale folded into q
+                qbuf[h] = rope(col(offs[0], h)) * scale  # + score scale
             for h in range(Hkv):
-                kh = acc[0:1, offs[1] + h * D:offs[1] + (h + 1) * D]
-                knbuf[h] = rope(kh)
-                vnbuf[h] = acc[0:1, offs[2] + h * D:offs[2] + (h + 1) * D]
+                knbuf[h] = rope(col(offs[1], h))
+                vnbuf[h] = col(offs[2], h)
 
         scope_args, _unpack = _scoped_buffers(plans, G, depth, offs[-1])
         pl.run_scoped(gather, *scope_args)
@@ -326,11 +346,12 @@ def attn_stage(thr, layer_ref, pos_b, x3_ref, cs_ref, norm_ref,
 
     extra = []
     if norm:
-        from teal_tpu.ops.block_gemv import _norm_rows
-
-        extra = [pltpu.VMEM((nb, 1, LANES), x3_ref.dtype),
-                 pltpu.VMEM((_norm_rows(nb), LANES), norm_ref.dtype),
-                 pltpu.SemaphoreType.DMA(())]
+        extra += [pltpu.VMEM((nb, 1, LANES), x3_ref.dtype),
+                  pltpu.VMEM((_norm_rows(nb), LANES), norm_ref.dtype),
+                  pltpu.SemaphoreType.DMA(())]
+    if scale_ref is not None:
+        extra += [pltpu.VMEM((nbs, LANES), jnp.float32),
+                  pltpu.SemaphoreType.DMA(())]
     if C == T:
         attn_bufs = [
             pltpu.VMEM((Hkv, T, D), kc_ref.dtype),

@@ -364,6 +364,18 @@ def block_gather_gemv_multi(idx, xpack, ws, *, G: int, k_keep: int,
     return outs
 
 
+def _slab_copy(ref, buf, sem, layer_ref, nbp: int):
+    """Async-copy descriptor for one layer's [nbp, 128] slab of a packed
+    per-layer operand ([nbp, 128] unstacked, or [L*nbp, 128] stacked with
+    the layer axis folded into the sublane dim — see `pack_norm3`).
+    Rebuild identically at start and wait time."""
+    if ref.shape[0] == nbp:
+        src = ref
+    else:
+        src = ref.at[pl.ds(pl.multiple_of(layer_ref[0] * nbp, nbp), nbp)]
+    return pltpu.make_async_copy(src, buf, sem)
+
+
 def _norm_fold(x3_ref, norm_ref, xn_ref, g_ref, gsem, layer_ref, *,
                nb: int, G: int, norm_eps: float):
     """In-kernel rms_norm: normalize raw packed x3 into xn_ref using the
@@ -377,12 +389,7 @@ def _norm_fold(x3_ref, norm_ref, xn_ref, g_ref, gsem, layer_ref, *,
     layout would make the DMA slice across a size-1 tiled sublane dim,
     which Mosaic cannot lower."""
     nbp = _norm_rows(nb)
-    if norm_ref.shape[0] == nbp:
-        src = norm_ref
-    else:
-        src = norm_ref.at[pl.ds(pl.multiple_of(layer_ref[0] * nbp, nbp),
-                                nbp)]
-    gcp = pltpu.make_async_copy(src, g_ref, gsem)
+    gcp = _slab_copy(norm_ref, g_ref, gsem, layer_ref, nbp)
     gcp.start()
     xf = x3_ref[:, 0, :].astype(jnp.float32)       # [nb, 128]
     scale = jax.lax.rsqrt(

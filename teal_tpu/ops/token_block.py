@@ -48,23 +48,37 @@ from teal_tpu.ops.attn_block import attn_stage
 from teal_tpu.ops.block_gemv import (LANES, SUBLANES, _gather_loop,
                                      _norm_fold, _norm_rows, _pick_depth,
                                      _plan_weights, _scoped_buffers,
-                                     _select_scan, _start_dmas)
+                                     _select_scan, _slab_copy, _start_dmas)
 from teal_tpu.ops.decode_attention import ROWTILE
 
 
 def _proj_stage(thr, layer_ref, x_buf, out_write, plans, w_ref_groups, *,
                 G: int, nb: int, cap: int, depth: int, norm_ref=None,
-                norm_eps: float = 0.0, fixed_sel: bool = False):
+                norm_eps: float = 0.0, fixed_sel: bool = False,
+                scale_ref=None):
     """One packed projection stage inside the token kernel: optional
     folded rms_norm -> threshold selection -> pipelined gather + MXU
-    accumulate -> `out_write(acc)` consumes the [8, n_tot] fp32
-    accumulator (residual add / silu*mul / cast happen in the writer).
-    x_buf is a VMEM buffer in the packed-row layout [nb, 1, 128]."""
+    accumulate -> `out_write(acc, sbuf)` consumes the [8, n_tot] fp32
+    accumulator (residual add / silu*mul / int8 per-channel scale /
+    cast happen in the writer). x_buf is a VMEM buffer in the
+    packed-row layout [nb, 1, 128].
+
+    `scale_ref` (int8 weight-only mode): packed per-out-channel scales
+    aligned with the accumulator's 128-lane column tiles (row j scales
+    acc[:, j*128:(j+1)*128]); stacked [L*nbp, 128] f32. Its slab DMA
+    starts before selection and is waited only in the writer."""
     offs = [0]
     for p in plans:
         offs.append(offs[-1] + p.N)
+    nbs = _norm_rows(offs[-1] // LANES)
 
     def body(*scoped):
+        if scale_ref is not None:
+            sbuf, s2sem = scoped[-2:]
+            scoped = scoped[:-2]
+            _slab_copy(scale_ref, sbuf, s2sem, layer_ref, nbs).start()
+        else:
+            sbuf = None
         if norm_ref is not None:
             xn_ref, g_ref, gsem = scoped[-3:]
             scoped = scoped[:-3]
@@ -76,6 +90,7 @@ def _proj_stage(thr, layer_ref, x_buf, out_write, plans, w_ref_groups, *,
             x_ref = xn_ref
         else:
             x_ref = x_buf
+
         def ramp(slot, gidx):
             for wi, p in enumerate(plans):
                 _start_dmas(p, w_ref_groups[wi], bufs[wi], sems[wi],
@@ -87,14 +102,19 @@ def _proj_stage(thr, layer_ref, x_buf, out_write, plans, w_ref_groups, *,
         _gather_loop(plans, w_ref_groups, bufs, sems, layer_ref, x_ref,
                      idx_s, count, acc, offs, G=G, cap=cap, depth=depth,
                      skip_ramp=True)
-        out_write(acc)
+        if scale_ref is not None:
+            _slab_copy(scale_ref, sbuf, s2sem, layer_ref, nbs).wait()
+        out_write(acc, sbuf)
 
     scope_args, _unpack = _scoped_buffers(plans, G, depth, offs[-1])
     extra = []
     if norm_ref is not None:
-        extra = [pltpu.VMEM((nb, 1, LANES), x_buf.dtype),
-                 pltpu.VMEM((_norm_rows(nb), LANES), norm_ref.dtype),
-                 pltpu.SemaphoreType.DMA(())]
+        extra += [pltpu.VMEM((nb, 1, LANES), x_buf.dtype),
+                  pltpu.VMEM((_norm_rows(nb), LANES), norm_ref.dtype),
+                  pltpu.SemaphoreType.DMA(())]
+    if scale_ref is not None:
+        extra += [pltpu.VMEM((nbs, LANES), jnp.float32),
+                  pltpu.SemaphoreType.DMA(())]
     pl.run_scoped(
         body,
         *scope_args,
@@ -109,9 +129,15 @@ def _proj_stage(thr, layer_ref, x_buf, out_write, plans, w_ref_groups, *,
 def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
                   I: int, Hq: int, Hkv: int, T: int, C: int,
                   window: Optional[int], norm_eps: float, caps, depths,
-                  plan_groups, scale: float, fixed_sel: bool):
+                  plan_groups, scale: float, fixed_sel: bool,
+                  int8: bool = False):
     na_ref, nm_ref = refs[0], refs[1]
-    k = 2
+    if int8:
+        s_refs = refs[2:6]
+        k = 6
+    else:
+        s_refs = (None,) * 4
+        k = 2
     w_groups = []   # per stage: one refs-tuple per weight operand
     for plans in plan_groups:
         grp = []
@@ -139,42 +165,51 @@ def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
                G=LANES, plans=plan_groups[0], nb=nbD, cap=caps[0],
                depth=depths[0], norm_eps=norm_eps, Hq=Hq, Hkv=Hkv,
                T=T, D=LANES, C=C, window=window, scale=scale,
-               fixed_sel=fixed_sel)
+               fixed_sel=fixed_sel, scale_ref=s_refs[0])
 
     # --- stage 2: o-proj, residual add into the stream ---
-    def write_o(acc):
+    def write_o(acc, sb):
         for j in range(nbD):
-            row = acc[0:1, j * LANES:(j + 1) * LANES] \
-                + h3_s[j].astype(jnp.float32)
-            h3_s[j] = row.astype(h3_s.dtype)
+            row = acc[0:1, j * LANES:(j + 1) * LANES]
+            if sb is not None:
+                row = row * sb[j:j + 1, :]
+            h3_s[j] = (row + h3_s[j].astype(jnp.float32)) \
+                .astype(h3_s.dtype)
 
     _proj_stage(thr_ref[li, 3], li_s, attn3_s, write_o, plan_groups[1],
                 w_groups[1], G=LANES, nb=nbD, cap=caps[1],
-                depth=depths[1], fixed_sel=fixed_sel)
+                depth=depths[1], fixed_sel=fixed_sel,
+                scale_ref=s_refs[1])
 
     # --- stage 3: gate/up pair (folded mlp norm), silu*mul ---
-    def write_gu(acc):
+    def write_gu(acc, sb):
         for j in range(nbI):
             g_ = acc[0:1, j * LANES:(j + 1) * LANES]
             u_ = acc[0:1, I + j * LANES:I + (j + 1) * LANES]
+            if sb is not None:
+                g_ = g_ * sb[j:j + 1, :]
+                u_ = u_ * sb[nbI + j:nbI + j + 1, :]
             inter3_s[j] = (g_ * (1.0 / (1.0 + jnp.exp(-g_))) * u_) \
                 .astype(inter3_s.dtype)
 
     _proj_stage(thr_ref[li, 4], li_s, h3_s, write_gu, plan_groups[2],
                 w_groups[2], G=LANES, nb=nbD, cap=caps[2],
                 depth=depths[2], norm_ref=nm_ref, norm_eps=norm_eps,
-                fixed_sel=fixed_sel)
+                fixed_sel=fixed_sel, scale_ref=s_refs[2])
 
     # --- stage 4: down-proj, residual add ---
-    def write_dn(acc):
+    def write_dn(acc, sb):
         for j in range(nbD):
-            row = acc[0:1, j * LANES:(j + 1) * LANES] \
-                + h3_s[j].astype(jnp.float32)
-            h3_s[j] = row.astype(h3_s.dtype)
+            row = acc[0:1, j * LANES:(j + 1) * LANES]
+            if sb is not None:
+                row = row * sb[j:j + 1, :]
+            h3_s[j] = (row + h3_s[j].astype(jnp.float32)) \
+                .astype(h3_s.dtype)
 
     _proj_stage(thr_ref[li, 6], li_s, inter3_s, write_dn, plan_groups[3],
                 w_groups[3], G=LANES, nb=nbI, cap=caps[3],
-                depth=depths[3], fixed_sel=fixed_sel)
+                depth=depths[3], fixed_sel=fixed_sel,
+                scale_ref=s_refs[3])
 
     @pl.when(li == L - 1)
     def _():
@@ -206,6 +241,31 @@ def token_decode(x3, thresholds, ws, norm_attn3, norm_mlp3, cos, sin,
     nbD = x3.shape[0]
     D = nbD * LANES
     assert n_heads * Dh == D, (n_heads, D)
+
+    def _is_int8(w):
+        return isinstance(w, dict) and "q" in w and "qp" not in w
+
+    int8 = any(_is_int8(w) for w in ws)
+    if int8:
+        assert all(_is_int8(w) for w in ws), \
+            "int8 token kernel needs all seven projections int8"
+        from teal_tpu.ops.block_gemv import pack_norm3
+
+        def pack_s(*scales):
+            # per-out-channel scales, concatenated along the stage's
+            # accumulator columns and packed so row j scales the
+            # accumulator's j-th 128-lane column tile
+            cat = jnp.concatenate(
+                [jnp.asarray(s, jnp.float32) for s in scales], axis=-1)
+            return pack_norm3(cat, LANES).reshape(-1, LANES)
+
+        s_ops = (pack_s(ws[0]["scale"], ws[1]["scale"], ws[2]["scale"]),
+                 pack_s(ws[3]["scale"]),
+                 pack_s(ws[4]["scale"], ws[5]["scale"]),
+                 pack_s(ws[6]["scale"]))
+        ws = tuple(w["q"] for w in ws)
+    else:
+        s_ops = ()
     plan_groups = (
         _plan_weights(tuple(ws[0:3])),     # q, k, v
         _plan_weights((ws[3],)),           # o
@@ -236,14 +296,15 @@ def token_decode(x3, thresholds, ws, norm_attn3, norm_mlp3, cos, sin,
         _token_kernel, L=L, D=D, I=I, Hq=n_heads, Hkv=Hkv, T=T, C=C,
         window=window, norm_eps=norm_eps, caps=tuple(caps), depths=depths,
         plan_groups=plan_groups, scale=1.0 / (Dh ** 0.5),
-        fixed_sel=fixed_sel,
+        fixed_sel=fixed_sel, int8=int8,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # thresholds [L, 7], pos [1]
         grid=(L,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),     # x3
                   pl.BlockSpec(memory_space=pltpu.VMEM)]     # cos/sin
-        + [pl.BlockSpec(memory_space=pl.ANY)] * (2 + len(flat) + 2),
+        + [pl.BlockSpec(memory_space=pl.ANY)]
+        * (2 + len(s_ops) + len(flat) + 2),
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),           # h3'
             pl.BlockSpec(memory_space=pl.ANY),               # kc
@@ -257,8 +318,8 @@ def token_decode(x3, thresholds, ws, norm_attn3, norm_mlp3, cos, sin,
         ],
     )
     # flattened operand indices: thr 0, pos 1, x3 2, cs 3, norms 4-5,
-    # *flat, kc, vc
-    kc_idx = 6 + len(flat)
+    # [int8 scales], *flat, kc, vc
+    kc_idx = 6 + len(s_ops) + len(flat)
     weight_bytes = sum(
         cap * sum((LANES // 2 if p.kind == "int4" else LANES) * p.N
                   * p.arrays[0].dtype.itemsize for p in plans)
@@ -284,6 +345,6 @@ def token_decode(x3, thresholds, ws, norm_attn3, norm_mlp3, cos, sin,
                                 * kc_all.dtype.itemsize),
             transcendentals=L * (n_heads * T + I),
         ),
-    )(thresholds.astype(jnp.float32), pos, x3, cs, na, nm, *flat,
+    )(thresholds.astype(jnp.float32), pos, x3, cs, na, nm, *s_ops, *flat,
       kc_all, vc_all)
     return h3_out, kc_all, vc_all

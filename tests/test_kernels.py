@@ -763,3 +763,86 @@ def test_token_kernel_model_equivalence():
                                    rtol=1e-6, atol=1e-7)
         np.testing.assert_allclose(np.asarray(cg.k), np.asarray(cr.k),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_token_kernel_int8_equivalence():
+    """int8 weight-only through the whole-token kernel (per-out-channel
+    scale applied to the fp32 accumulator in the stage writers, pre-RoPE
+    for q/k/v) == the per-kernel int8 path (XLA post-scale). Activations
+    are bf16 in both paths (int8 compute dtype), so tolerances are
+    bf16-scale."""
+    from teal_tpu.config import get_model_config
+    from teal_tpu.models import llama
+    from teal_tpu.models.llama import KVCache
+
+    cfg = get_model_config("tiny", n_layers=2, n_heads=2, n_kv_heads=2,
+                           dim=256, intermediate_size=384, vocab_size=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(3), jnp.float32)
+
+    def q8(stack):   # per-layer, per-out-channel symmetric int8
+        wf = stack.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(wf), axis=1)                  # [L, N]
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        q = jnp.clip(jnp.round(wf / scale[:, None, :]),
+                     -128, 127).astype(jnp.int8)
+        return {"q": q, "scale": scale}
+
+    for n in ("wq", "wk", "wv", "wo", "wgate", "wup", "wdown"):
+        params["layers"][n] = q8(params["layers"][n])
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                        block_keep_frac=0.75, block_thresholding=True,
+                        fused_decode_attention=True)
+    th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
+    for p in (0, 5):
+        # bf16 cache: int8's compute dtype (the production pairing —
+        # an f32 cache would make the XLA attention emit f32 and the
+        # reference path's residual dtype drift)
+        cache = KVCache.init(cfg, 1, 16, jnp.bfloat16)
+        tok = jnp.asarray([[3 + p]], jnp.int32)
+        got, cg = llama.forward(params, tok, cache, p, th, cfg=cfg, sp=sp)
+        ref, cr = llama.forward(params, tok, cache, p, th, cfg=cfg,
+                                sp=sp.replace(token_fused=False))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=5e-2, atol=5e-2,
+                                   err_msg=f"int8 token pos={p}")
+        np.testing.assert_allclose(np.asarray(cg.k), np.asarray(cr.k),
+                                   rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(cg.v), np.asarray(cr.v),
+                                   rtol=2e-2, atol=2e-2)
+
+
+def test_token_kernel_int4_equivalence():
+    """Packed-int4 through the whole-token kernel (in-kernel factored
+    affine dequant inside each stage's gather) == the 4-launch packed
+    pipeline == the per-kernel int4 path."""
+    from teal_tpu.config import get_model_config
+    from teal_tpu.models import llama
+    from teal_tpu.models.llama import KVCache
+    from teal_tpu.ops import quant
+
+    cfg = get_model_config("tiny", n_layers=2, n_heads=2, n_kv_heads=2,
+                           dim=256, intermediate_size=384, vocab_size=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(11), jnp.float32)
+    q4 = quant.quantize_params_int4(params, group=128)
+    q4p = quant.pack_int4_params(q4, block_size=128)
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                        block_keep_frac=0.75, block_thresholding=True,
+                        fused_decode_attention=True)
+    th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
+    for p in (0, 5):
+        cache = KVCache.init(cfg, 1, 16, jnp.bfloat16)
+        tok = jnp.asarray([[3 + p]], jnp.int32)
+        got, cg = llama.forward(q4p, tok, cache, p, th, cfg=cfg, sp=sp)
+        mid, _ = llama.forward(q4p, tok, cache, p, th, cfg=cfg,
+                               sp=sp.replace(token_fused=False))
+        ref, cr = llama.forward(
+            q4p, tok, cache, p, th, cfg=cfg,
+            sp=sp.replace(token_fused=False, packed_pipeline=False))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(mid),
+                                   rtol=2e-2, atol=2e-2,
+                                   err_msg=f"int4 token-vs-packed pos={p}")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=5e-2, atol=5e-2,
+                                   err_msg=f"int4 token-vs-perkernel pos={p}")
+        np.testing.assert_allclose(np.asarray(cg.k), np.asarray(cr.k),
+                                   rtol=2e-2, atol=2e-2)
