@@ -846,3 +846,37 @@ def test_token_kernel_int4_equivalence():
                                    err_msg=f"int4 token-vs-perkernel pos={p}")
         np.testing.assert_allclose(np.asarray(cg.k), np.asarray(cr.k),
                                    rtol=2e-2, atol=2e-2)
+
+
+def test_token_kernel_sliding_window():
+    """Whole-token kernel with a Mistral-style sliding window == the
+    per-kernel fallback (XLA einsum attention with window mask),
+    positions straddling the window boundary."""
+    from teal_tpu.config import get_model_config
+    from teal_tpu.models import llama
+    from teal_tpu.models.llama import KVCache
+
+    cfg = get_model_config("tiny", n_layers=2, n_heads=2, n_kv_heads=2,
+                           dim=256, intermediate_size=384, vocab_size=128,
+                           sliding_window=8)
+    params = llama.init_params(cfg, jax.random.PRNGKey(5), jnp.float32)
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                        block_keep_frac=0.75, block_thresholding=True,
+                        fused_decode_attention=True)
+    th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
+    for p in (3, 9, 14):   # inside / straddling / deep past the window
+        cache = KVCache.init(cfg, 1, 16, jnp.float32)
+        cache = KVCache(
+            k=jax.random.normal(jax.random.PRNGKey(p), cache.k.shape,
+                                jnp.float32) * 0.1,
+            v=jax.random.normal(jax.random.PRNGKey(p + 1), cache.v.shape,
+                                jnp.float32) * 0.1)
+        tok = jnp.asarray([[3 + p]], jnp.int32)
+        got, _ = llama.forward(params, tok, cache, p, th, cfg=cfg, sp=sp)
+        ref, _ = llama.forward(
+            params, tok, cache, p, th, cfg=cfg,
+            sp=sp.replace(token_fused=False, packed_pipeline=False,
+                          fused_attn_block=False))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"window pos={p}")
