@@ -359,6 +359,9 @@ def main():
                     default=None,
                     help="packed-pipeline decode (G=128 only; default "
                          "auto). --no-packed benches the per-kernel path")
+    ap.add_argument("--phases", default="dense,sparse",
+                    help="comma list of phases to run (dense,sparse) — "
+                         "bisection aid; the JSON line needs both")
     ap.add_argument("--token", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="whole-token kernel: the entire layer stack as "
@@ -379,6 +382,7 @@ def main():
                          "same survivor rate; --no-thresholded benches "
                          "XLA top-k selection")
     args = ap.parse_args()
+    args.phases = set(args.phases.split(","))
 
     from teal_tpu.config import SparsityConfig
 
@@ -396,10 +400,13 @@ def main():
     ) * cfg.n_layers * bytes_per_w / 1e9
 
     dense_sp = SparsityConfig(enabled=False)
-    tps_dense = decode_tps(cfg, params, dense_sp, args.max_seq,
-                           n_short, n_long, batch=args.batch)
-    log(f"dense:  {tps_dense:.2f} tok/s  "
-        f"({model_gb * tps_dense:.0f} GB/s effective)")
+    tps_dense = 1.0
+    if "dense" in args.phases:
+        log("phase: dense")
+        tps_dense = decode_tps(cfg, params, dense_sp, args.max_seq,
+                               n_short, n_long, batch=args.batch)
+        log(f"dense:  {tps_dense:.2f} tok/s  "
+            f"({model_gb * tps_dense:.0f} GB/s effective)")
 
     sparse_sp = SparsityConfig(
         enabled=True, kernel="block", block_size=args.block_size,
@@ -409,10 +416,14 @@ def main():
         token_fused=args.token,
         debug_fixed_selection=args.fixed_selection,
     )
-    tps_sparse = decode_tps(cfg, params, sparse_sp, args.max_seq,
-                            n_short, n_long, batch=args.batch)
-    log(f"sparse: {tps_sparse:.2f} tok/s  "
-        f"({model_gb * (1 - args.sparsity) * tps_sparse:.0f} GB/s effective)")
+    tps_sparse = 1.0
+    if "sparse" in args.phases:
+        log("phase: sparse")
+        tps_sparse = decode_tps(cfg, params, sparse_sp, args.max_seq,
+                                n_short, n_long, batch=args.batch)
+        log(f"sparse: {tps_sparse:.2f} tok/s  "
+            f"({model_gb * (1 - args.sparsity) * tps_sparse:.0f} "
+            "GB/s effective)")
 
     if args.sweep:
         for s in (0.4, 0.25):

@@ -461,6 +461,14 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
     return h, kc, vc, caps
 
 
+def _block_capacity(K: int, frac: float, G: int = 128) -> int:
+    """Static gather capacity for a keep fraction at group size G (the
+    ONE capacity formula shared by the packed pipeline and the token
+    kernel — it must match `block_gemv.project_many`'s k_keep rule)."""
+    nb = K // G
+    return max(1, min(nb, int(round(nb * frac))))
+
+
 def _packed_layer(h3, stacked, kc, vc, pos, cos1, sin1, cfg: ModelConfig,
                   sp: SparsityConfig, thresholds, packed_norms, layer_idx,
                   kf):
@@ -475,10 +483,7 @@ def _packed_layer(h3, stacked, kc, vc, pos, cos1, sin1, cfg: ModelConfig,
 
     t = {p: thresholds[i] for i, p in enumerate(PROJS)}
     D, I = cfg.dim, cfg.intermediate_size
-
-    def cap(K, frac):
-        nb = K // 128
-        return max(1, min(nb, int(round(nb * frac))))
+    cap = _block_capacity
 
     fx = sp.debug_fixed_selection
     attn, kc, vc = _ab.attn_block(
@@ -512,7 +517,9 @@ def _can_packed_pipeline(params, cfg: ModelConfig, sp: SparsityConfig,
                          packed_norms) -> bool:
     """Static gate for the packed pipeline: G must be 128 for every
     projection, capacities shared within the fused launches, weights
-    bf16/fp32 or packed int4 (int8's post-scale is not folded)."""
+    bf16/fp32, packed int4, or (token kernel only) int8 weight-only —
+    the token kernel folds the int8 per-out-channel scale into its
+    stage writers; the 4-launch pipeline has no scale fold."""
     if sp.packed_pipeline is False or not fused_attn:
         return False
     if not (s == 1 and b == 1 and packed_norms is not None
@@ -520,6 +527,8 @@ def _can_packed_pipeline(params, cfg: ModelConfig, sp: SparsityConfig,
             and cfg.dim % 128 == 0 and cfg.intermediate_size % 128 == 0):
         return False
     lay = params["layers"]
+    if isinstance(lay["wq"], dict) and "zero" in lay["wq"]:
+        return False   # unpacked int4 {"q","scale","zero"}: XLA dequant
     if isinstance(lay["wq"], dict) and "q" in lay["wq"]:
         # int8 weight-only: the whole-token kernel applies the
         # per-out-channel scale to the fp32 accumulator in its stage
@@ -527,6 +536,7 @@ def _can_packed_pipeline(params, cfg: ModelConfig, sp: SparsityConfig,
         # int8 runs the packed path ONLY via the token kernel
         if sp.token_fused is False or not all(
                 isinstance(lay[n], dict) and "q" in lay[n]
+                and "zero" not in lay[n]
                 for n in ("wk", "wv", "wo", "wgate", "wup", "wdown")):
             return False
     kf = sp.block_keep_fracs or (sp.block_keep_frac,) * 7
@@ -619,10 +629,7 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
             # stack (grid over layers; ops/token_block.py)
             from teal_tpu.ops import token_block
 
-            def cap_(K, frac):
-                nb_ = K // 128
-                return max(1, min(nb_, int(round(nb_ * frac))))
-
+            cap_ = _block_capacity
             lay = params["layers"]
             h3, kc, vc = token_block.token_decode(
                 h3, thresholds,

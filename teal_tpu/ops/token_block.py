@@ -167,8 +167,10 @@ def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
                T=T, D=LANES, C=C, window=window, scale=scale,
                fixed_sel=fixed_sel, scale_ref=s_refs[0])
 
-    # --- stage 2: o-proj, residual add into the stream ---
-    def write_o(acc, sb):
+    def write_residual(acc, sb):
+        """o/down writer: (scaled) accumulator row + residual stream,
+        cast back into the packed VMEM stream (same op order as
+        `fused_select_gather_packed`'s out_packed+res path)."""
         for j in range(nbD):
             row = acc[0:1, j * LANES:(j + 1) * LANES]
             if sb is not None:
@@ -176,7 +178,9 @@ def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
             h3_s[j] = (row + h3_s[j].astype(jnp.float32)) \
                 .astype(h3_s.dtype)
 
-    _proj_stage(thr_ref[li, 3], li_s, attn3_s, write_o, plan_groups[1],
+    # --- stage 2: o-proj, residual add into the stream ---
+    _proj_stage(thr_ref[li, 3], li_s, attn3_s, write_residual,
+                plan_groups[1],
                 w_groups[1], G=LANES, nb=nbD, cap=caps[1],
                 depth=depths[1], fixed_sel=fixed_sel,
                 scale_ref=s_refs[1])
@@ -198,15 +202,8 @@ def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
                 fixed_sel=fixed_sel, scale_ref=s_refs[2])
 
     # --- stage 4: down-proj, residual add ---
-    def write_dn(acc, sb):
-        for j in range(nbD):
-            row = acc[0:1, j * LANES:(j + 1) * LANES]
-            if sb is not None:
-                row = row * sb[j:j + 1, :]
-            h3_s[j] = (row + h3_s[j].astype(jnp.float32)) \
-                .astype(h3_s.dtype)
-
-    _proj_stage(thr_ref[li, 6], li_s, inter3_s, write_dn, plan_groups[3],
+    _proj_stage(thr_ref[li, 6], li_s, inter3_s, write_residual,
+                plan_groups[3],
                 w_groups[3], G=LANES, nb=nbI, cap=caps[3],
                 depth=depths[3], fixed_sel=fixed_sel,
                 scale_ref=s_refs[3])
@@ -243,7 +240,10 @@ def token_decode(x3, thresholds, ws, norm_attn3, norm_mlp3, cos, sin,
     assert n_heads * Dh == D, (n_heads, D)
 
     def _is_int8(w):
-        return isinstance(w, dict) and "q" in w and "qp" not in w
+        # {"q","scale"} per-out-channel int8 — NOT packed int4 ("qp")
+        # and NOT unpacked int4 ("zero": groupwise affine, XLA path)
+        return (isinstance(w, dict) and "q" in w and "qp" not in w
+                and "zero" not in w)
 
     int8 = any(_is_int8(w) for w in ws)
     if int8:

@@ -775,7 +775,7 @@ def test_token_kernel_int8_equivalence():
     from teal_tpu.models import llama
     from teal_tpu.models.llama import KVCache
 
-    cfg = get_model_config("tiny", n_layers=2, n_heads=2, n_kv_heads=2,
+    cfg = get_model_config("tiny", n_layers=2, n_heads=2, n_kv_heads=1,
                            dim=256, intermediate_size=384, vocab_size=128)
     params = llama.init_params(cfg, jax.random.PRNGKey(3), jnp.float32)
 
@@ -880,3 +880,49 @@ def test_token_kernel_sliding_window():
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4,
                                    err_msg=f"window pos={p}")
+
+
+def test_token_kernel_chunked_attention():
+    """Whole-token kernel with the CHUNKED attention branch (C < T:
+    double-buffered chunk DMAs, online softmax, first chunk hoisted to
+    the stage head) == the per-kernel fallback — the production branch
+    for max_seq >= 2*CHUNK (the 2.22x max_seq-2048 configuration)."""
+    from teal_tpu.config import get_model_config
+    from teal_tpu.models import llama
+    from teal_tpu.models.llama import KVCache
+    from teal_tpu.ops import decode_attention as da
+
+    old_chunk = da.CHUNK
+    da.CHUNK = 16
+    try:
+        cfg = get_model_config("tiny", n_layers=2, n_heads=2,
+                               n_kv_heads=2, dim=256,
+                               intermediate_size=384, vocab_size=128)
+        params = llama.init_params(cfg, jax.random.PRNGKey(9),
+                                   jnp.float32)
+        sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                            block_keep_frac=0.75, block_thresholding=True,
+                            fused_decode_attention=True)
+        th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
+        T = 48   # 3 chunks of 16
+        for p in (0, 15, 16, 40):   # chunk boundaries + deep position
+            cache = KVCache.init(cfg, 1, T, jnp.float32)
+            cache = KVCache(
+                k=jax.random.normal(jax.random.PRNGKey(p), cache.k.shape,
+                                    jnp.float32) * 0.1,
+                v=jax.random.normal(jax.random.PRNGKey(p + 1),
+                                    cache.v.shape, jnp.float32) * 0.1)
+            tok = jnp.asarray([[p % 97]], jnp.int32)
+            got, cg = llama.forward(params, tok, cache, p, th,
+                                    cfg=cfg, sp=sp)
+            ref, cr = llama.forward(
+                params, tok, cache, p, th, cfg=cfg,
+                sp=sp.replace(token_fused=False, packed_pipeline=False,
+                              fused_attn_block=False))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=f"chunked pos={p}")
+            np.testing.assert_allclose(np.asarray(cg.k), np.asarray(cr.k),
+                                       rtol=1e-5, atol=1e-6)
+    finally:
+        da.CHUNK = old_chunk
