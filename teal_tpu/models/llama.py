@@ -522,7 +522,10 @@ def _can_packed_pipeline(params, cfg: ModelConfig, sp: SparsityConfig,
     stage writers; the 4-launch pipeline has no scale fold."""
     if sp.packed_pipeline is False or not fused_attn:
         return False
-    if not (s == 1 and b == 1 and packed_norms is not None
+    # b > 1 (up to the 8 MXU lhs rows) is served ONLY by the whole-token
+    # kernel (batched attn_stage); the 4-launch pipeline is batch-1
+    ok_b = b == 1 or (b <= 8 and sp.token_fused is not False)
+    if not (s == 1 and ok_b and packed_norms is not None
             and cfg.n_experts == 0 and cfg.head_dim == 128
             and cfg.dim % 128 == 0 and cfg.intermediate_size % 128 == 0):
         return False
@@ -599,7 +602,7 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
     # packed rms_norm gains for the in-kernel norm fold (threshold-mode
     # block decode): built ONCE here, outside the layer scan
     packed_norms = None
-    if (s == 1 and b == 1 and sp.enabled and sp.kernel == "block"
+    if (s == 1 and b <= 8 and sp.enabled and sp.kernel == "block"
             and sp.block_thresholding):
         from teal_tpu.ops import block_gemv
 
@@ -622,13 +625,19 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
         from teal_tpu.ops import block_gemv as _bg
 
         kf = sp.block_keep_fracs or (sp.block_keep_frac,) * 7
-        h3 = _bg.pack_x3(h.reshape(1, cfg.dim), 128)
 
         if sp.token_fused is not False:
             # whole-token kernel: ONE Pallas launch for the entire layer
-            # stack (grid over layers; ops/token_block.py)
+            # stack (grid over layers; ops/token_block.py); batched
+            # decode (b <= 8) rides the MXU lhs sublane rows
             from teal_tpu.ops import token_block
 
+            if b == 1:
+                h3 = _bg.pack_x3(h.reshape(1, cfg.dim), 128)
+                cs_cos, cs_sin = cos[0, 0], sin[0, 0]
+            else:
+                h3 = _bg.pack_x3_rows(h.reshape(b, cfg.dim), 128)
+                cs_cos, cs_sin = cos[:, 0], sin[:, 0]
             cap_ = _block_capacity
             lay = params["layers"]
             h3, kc, vc = token_block.token_decode(
@@ -636,19 +645,24 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
                 (lay["wq"], lay["wk"], lay["wv"], lay["wo"],
                  lay["wgate"], lay["wup"], lay["wdown"]),
                 packed_norms["attn"], packed_norms["mlp"],
-                cos[0, 0], sin[0, 0], cache.k, cache.v, pos,
+                cs_cos, cs_sin, cache.k, cache.v, pos,
                 caps=(cap_(cfg.dim, kf[0]), cap_(cfg.dim, kf[3]),
                       cap_(cfg.dim, kf[4]),
                       cap_(cfg.intermediate_size, kf[6])),
                 n_heads=cfg.n_heads, norm_eps=cfg.norm_eps,
                 window=cfg.sliding_window,
-                fixed_sel=sp.debug_fixed_selection,
+                fixed_sel=sp.debug_fixed_selection, batch=b,
             )
-            h = h3.reshape(1, 1, cfg.dim)
+            if b == 1:
+                h = h3.reshape(1, 1, cfg.dim)
+            else:
+                h = jnp.swapaxes(h3[:, :b, :], 0, 1).reshape(b, 1, cfg.dim)
             h = rms_norm(h, params["final_norm"], cfg.norm_eps)
             if return_hidden:
                 return h, KVCache(kc, vc)
             return _lm_head(params, h), KVCache(kc, vc)
+
+        h3 = _bg.pack_x3(h.reshape(1, cfg.dim), 128)
 
         def packed_body(carry, xs):
             h3, kc_all, vc_all = carry

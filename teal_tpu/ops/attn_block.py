@@ -12,15 +12,18 @@ This kernel runs the whole block in one launch:
 
   1. in-kernel rms_norm of the raw residual stream (gain DMA overlapped
      with the sum-of-squares reduction)
-  2. group-score threshold selection on the scalar core
-  3. pipelined gather of kept [G, N] slabs of wq/wk/wv (bf16 or packed
-     int4) with MXU accumulation — one shared selection, one launch
+  2. group-score threshold selection on the scalar core (the gather
+     ramp's weight DMAs issue from inside the scan)
+  3. pipelined gather of kept [G, N] slabs of wq/wk/wv (bf16, int8 with
+     the per-channel scale folded, or packed int4) with MXU accumulation
+     — one shared selection, one launch
   4. RoPE on the q/k heads, straight out of the fp32 accumulator
      (static per-head lane slices of the [8, (Hq+2*Hkv)*D] accumulator —
      head_dim == 128 == one lane tile, so every slice is tile-aligned)
   5. the in-place current-token cache write + chunked online-softmax
      attention of ops/decode_attention.py (the stacked cache stays in
-     HBM, aliased input->output)
+     HBM, aliased input->output); the cache READS start at stage entry,
+     overlapped under the norm/selection/gather
 
 Nothing round-trips to HBM between those steps: q/k/v never exist as
 XLA values at decode time. The reference has no analog — its fused
@@ -28,14 +31,20 @@ Triton kernel covers only the QKV GEMVs (`kernels/sparse_gemv.py:
 147-237`) and attention runs separately in sdpa (`gpt-fast/model.py:
 249`).
 
+`attn_stage` is batch-generic (static B <= 8): batch rows ride the MXU
+lhs sublanes through one shared gather (pooled-score selection), then
+each sequence's RoPE / cache write / attention runs at its own position
+(continuous batching decodes slots at different depths). B == 1 emits
+exactly the single-sequence program.
+
 Semantics match the two-kernel path exactly, except q/k stay fp32 from
 the accumulator through RoPE into the scores (the split path rounds
 projections to bf16 between kernels) — strictly tighter numerics.
 
 Restrictions (the dispatcher in models/llama.py falls back to the split
-path otherwise): batch 1, head_dim == 128, threshold selection mode,
-equal q/k/v capacities, bf16/fp32 or packed-int4 weights (int8's
-post-scale would have to ride an extra operand; not wired).
+path otherwise): head_dim == 128, threshold selection mode, equal q/k/v
+capacities, bf16/fp32 or packed-int4 weights via `attn_block` (the
+whole-token kernel additionally feeds int8 with `scale_ref`).
 """
 
 from __future__ import annotations
@@ -50,8 +59,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from teal_tpu.ops import decode_attention as _da
 from teal_tpu.ops.block_gemv import (LANES, _gather_loop, _norm_fold,
-                                     _plan_weights, _scoped_buffers,
-                                     _select_scan, _start_dmas)
+                                     _norm_rows, _plan_weights,
+                                     _scoped_buffers, _select_scan,
+                                     _slab_copy, _start_dmas)
 from teal_tpu.ops.decode_attention import ROWTILE
 
 
@@ -60,7 +70,7 @@ def _attn_block_kernel(thr_ref, layer_ref, pos_ref, x3_ref, cs_ref, *refs,
                        norm: bool, norm_eps: float, Hq: int, Hkv: int,
                        T: int, D: int, C: int, window: Optional[int],
                        scale: float, fixed_sel: bool = False):
-    """cs_ref: [2, D] f32 (cos row 0 / sin row 1 at the current position);
+    """cs_ref: [1, 2, D] f32 (cos row / sin row at the current position);
     o_ref: [Hq, 1, D] f32 attention output; caches aliased in->out."""
     if norm:
         norm_ref, refs = refs[0], refs[1:]
@@ -72,33 +82,36 @@ def _attn_block_kernel(thr_ref, layer_ref, pos_ref, x3_ref, cs_ref, *refs,
         k += p.n_dma
     kc_in, vc_in, o_ref, kc_ref, vc_ref = refs[k:]
     del kc_in, vc_in  # aliased: kc_ref/vc_ref are the same buffers
-    attn_stage(thr_ref[0], layer_ref, pos_ref[0], x3_ref, cs_ref, norm_ref,
-               w_ref_groups, kc_ref, vc_ref, o_ref, G=G, plans=plans,
-               nb=nb, cap=cap, depth=depth, norm_eps=norm_eps, Hq=Hq,
-               Hkv=Hkv, T=T, D=D, C=C, window=window, scale=scale,
-               fixed_sel=fixed_sel)
+    attn_stage(thr_ref[0], layer_ref, (pos_ref[0],), x3_ref, cs_ref,
+               norm_ref, w_ref_groups, kc_ref, vc_ref, o_ref, G=G,
+               plans=plans, nb=nb, cap=cap, depth=depth,
+               norm_eps=norm_eps, Hq=Hq, Hkv=Hkv, T=T, D=D, C=C,
+               window=window, scale=scale, fixed_sel=fixed_sel)
 
 
-def attn_stage(thr, layer_ref, pos_b, x3_ref, cs_ref, norm_ref,
+def attn_stage(thr, layer_ref, pos_bs, x3_ref, cs_ref, norm_ref,
                w_ref_groups, kc_ref, vc_ref, o_ref, *, G: int, plans,
                nb: int, cap: int, depth: int, norm_eps: float, Hq: int,
                Hkv: int, T: int, D: int, C: int, window: Optional[int],
                scale: float, fixed_sel: bool = False, scale_ref=None):
     """The whole attention block as an in-kernel stage: (folded norm +)
-    selection + QKV gather + RoPE + in-place cache write + attention.
-    Called by `_attn_block_kernel` (one launch per layer) and by the
-    whole-token kernel (`ops/token_block.py`, grid over layers).
+    pooled selection + QKV gather + per-sequence RoPE / in-place cache
+    write / attention. Called by `_attn_block_kernel` (one launch per
+    layer) and by the whole-token kernel (`ops/token_block.py`, grid
+    over layers), for B = len(pos_bs) sequences (static, <= 8).
 
-    thr/pos_b: scalar values; x3_ref/o_ref may be kernel refs OR VMEM
-    scratch buffers (o_ref's dtype decides the output cast); norm_ref
+    thr: scalar; pos_bs: tuple of B per-sequence position scalars;
+    x3_ref: [nb, rows, 128] packed stream (rows >= B; row b is batch b);
+    cs_ref: [B, 2, D] per-sequence RoPE rows; kc/vc: [L, B', Hkv, T, D]
+    stacked caches with B' >= B; o_ref: [Hq, rows_o, D] output buffer
+    (row b is batch b; o_ref's dtype decides the output cast); norm_ref
     None disables the folded rms_norm.
 
     `scale_ref` (int8 weight-only mode): packed per-out-channel q/k/v
     scales aligned with the accumulator's 128-lane column tiles
     (stacked [L*nbp, 128] f32); applied to the fp32 accumulator BEFORE
     RoPE — equivalent to dequantizing the weights."""
-    from teal_tpu.ops.block_gemv import _norm_rows, _slab_copy
-
+    B = len(pos_bs)
     norm = norm_ref is not None
     offs = [0]
     for p in plans:
@@ -118,41 +131,46 @@ def attn_stage(thr, layer_ref, pos_b, x3_ref, cs_ref, norm_ref,
             rest = rest[2:]
             _slab_copy(scale_ref, sbuf, s2sem, layer_ref, nbs).start()
         li = layer_ref[0]
-        eb = (pos_b // R) * R
+        ebs = [(p // R) * R for p in pos_bs]
         if C == T:
             kb, vb, kpb, vpb, sem, psem, wsem = rest
         else:
             kb, vb, kpb, vpb, m_ref, d_ref, a_ref, sem, psem, wsem = rest
 
-        def start_chunk(ci, slot):
-            ck = pltpu.make_async_copy(
-                kc_ref.at[li, 0, :, pl.ds(ci * C, C)],
-                kb.at[pl.ds(slot * Hkv, Hkv)], sem.at[slot, 0])
-            cv = pltpu.make_async_copy(
-                vc_ref.at[li, 0, :, pl.ds(ci * C, C)],
-                vb.at[pl.ds(slot * Hkv, Hkv)], sem.at[slot, 1])
-            ck.start()
-            cv.start()
+        def start_chunk(b, ci, slot):
+            pltpu.make_async_copy(
+                kc_ref.at[li, b, :, pl.ds(ci * C, C)],
+                kb.at[pl.ds(slot * Hkv, Hkv)], sem.at[slot, 0]).start()
+            pltpu.make_async_copy(
+                vc_ref.at[li, b, :, pl.ds(ci * C, C)],
+                vb.at[pl.ds(slot * Hkv, Hkv)], sem.at[slot, 1]).start()
 
-        # --- 0: start the cache reads NOW — they depend only on the
-        # layer/position, so the full-cache (or first-chunk) DMA and the
-        # write-tile pre-read run UNDER the norm/selection/QKV gather
-        # below instead of after it (up to 4 MB/layer of cache traffic
-        # overlapped with the weight gather).
-        if C == T:
-            pltpu.make_async_copy(kc_ref.at[li, 0], kb, sem.at[0, 0]).start()
-            pltpu.make_async_copy(vc_ref.at[li, 0], vb, sem.at[0, 1]).start()
-            lo = jnp.int32(0)
-        else:
+        def lo_of(pos_b):
             if window is None:
-                lo = jnp.int32(0)
+                return jnp.int32(0)
+            return jnp.maximum(pos_b - window + 1, 0) // C
+
+        def start_reads(b):
+            """Sequence b's cache reads: the full-cache (C == T) or
+            first-chunk DMA plus the write-tile pre-read. b == 0 starts
+            at stage entry so the read runs UNDER the norm/selection/
+            QKV gather; b > 0 starts once b-1 releases the buffers."""
+            if C == T:
+                pltpu.make_async_copy(kc_ref.at[li, b], kb,
+                                      sem.at[0, 0]).start()
+                pltpu.make_async_copy(vc_ref.at[li, b], vb,
+                                      sem.at[0, 1]).start()
             else:
-                lo = jnp.maximum(pos_b - window + 1, 0) // C
-            start_chunk(lo, jax.lax.rem(lo, 2))
-        pltpu.make_async_copy(
-            kc_ref.at[li, 0, :, pl.ds(eb, R)], kpb, psem.at[0]).start()
-        pltpu.make_async_copy(
-            vc_ref.at[li, 0, :, pl.ds(eb, R)], vpb, psem.at[1]).start()
+                lo = lo_of(pos_bs[b])
+                start_chunk(b, lo, jax.lax.rem(lo, 2))
+            pltpu.make_async_copy(
+                kc_ref.at[li, b, :, pl.ds(ebs[b], R)], kpb,
+                psem.at[0]).start()
+            pltpu.make_async_copy(
+                vc_ref.at[li, b, :, pl.ds(ebs[b], R)], vpb,
+                psem.at[1]).start()
+
+        start_reads(0)
 
         # --- 1: optional folded norm ---
         if norm:
@@ -163,7 +181,8 @@ def attn_stage(thr, layer_ref, pos_b, x3_ref, cs_ref, norm_ref,
             x_ref = x3_ref
 
         # --- 2-4: selection (ramp DMAs issued from inside the scan),
-        # gather qkv, then RoPE out of the accumulator ---
+        # one shared gather, then per-sequence RoPE out of the
+        # accumulator (batch b is accumulator row b) ---
         def gather(*scoped):
             bufs, sems, acc = _unpack(scoped)
 
@@ -178,77 +197,83 @@ def attn_stage(thr, layer_ref, pos_b, x3_ref, cs_ref, norm_ref,
             _gather_loop(plans, w_ref_groups, bufs, sems, layer_ref,
                          x_ref, idx_s, count, acc, offs,
                          G=G, cap=cap, depth=depth, skip_ramp=True)
-            cos = cs_ref[0:1, :]                       # [1, D]
-            sin = cs_ref[1:2, :]
             if scale_ref is not None:
                 assert D == LANES  # scale rows map 1:1 to head columns
                 _slab_copy(scale_ref, sbuf, s2sem, layer_ref, nbs).wait()
 
-            def col(off, h):          # [1, D] f32 accumulator column,
-                c = acc[0:1, off + h * D:off + (h + 1) * D]
+            def col(b, off, h):       # [1, D] f32 accumulator column
+                c = acc[b:b + 1, off + h * D:off + (h + 1) * D]
                 if scale_ref is not None:   # int8 dequant scale pre-RoPE
                     j = (off + h * D) // LANES
                     c = c * sbuf[j:j + 1, :]
                 return c
 
-            def rope(row):                             # [1, D] f32
-                rot = jnp.concatenate([-row[:, half:], row[:, :half]],
-                                      axis=1)
-                return row * cos + rot * sin
+            for b in range(B):
+                cos = cs_ref[b, 0:1, :]                    # [1, D]
+                sin = cs_ref[b, 1:2, :]
 
-            for h in range(Hq):       # static slices: D == one lane tile
-                qbuf[h] = rope(col(offs[0], h)) * scale  # + score scale
-            for h in range(Hkv):
-                knbuf[h] = rope(col(offs[1], h))
-                vnbuf[h] = col(offs[2], h)
+                def rope(row):                             # [1, D] f32
+                    rot = jnp.concatenate([-row[:, half:], row[:, :half]],
+                                          axis=1)
+                    return row * cos + rot * sin
+
+                for h in range(Hq):   # static slices: D == one lane tile
+                    qbuf[h, b:b + 1, :] = rope(col(b, offs[0], h)) * scale
+                for h in range(Hkv):
+                    knbuf[h, b:b + 1, :] = rope(col(b, offs[1], h))
+                    vnbuf[h, b:b + 1, :] = col(b, offs[2], h)
 
         scope_args, _unpack = _scoped_buffers(plans, G, depth, offs[-1])
         pl.run_scoped(gather, *scope_args)
 
-        # --- 5: in-place cache write + attention (B == 1) ---
+        # --- 5: per-sequence in-place cache write + attention ---
 
-        def write_tile():
-            """Merge the new K/V row into the pre-read aligned 8-row tile
-            containing pos (the read DMA started in step 0) and write it
-            back (returns the write copies to wait on). Chunk reads use
-            PRE-update rows; row pos is masked out of the slab scores
-            and fixed up from VMEM."""
+        def write_tile(b):
+            """Merge sequence b's new K/V row into the pre-read aligned
+            8-row tile containing its pos (read started in start_reads)
+            and write it back (returns the write copies to wait on).
+            Chunk reads use PRE-update rows; row pos is masked out of
+            the slab scores and fixed up from VMEM."""
+            pos_b, eb = pos_bs[b], ebs[b]
             pltpu.make_async_copy(
-                kc_ref.at[li, 0, :, pl.ds(eb, R)], kpb, psem.at[0]).wait()
+                kc_ref.at[li, b, :, pl.ds(eb, R)], kpb, psem.at[0]).wait()
             pltpu.make_async_copy(
-                vc_ref.at[li, 0, :, pl.ds(eb, R)], vpb, psem.at[1]).wait()
+                vc_ref.at[li, b, :, pl.ds(eb, R)], vpb, psem.at[1]).wait()
             row = jax.lax.broadcasted_iota(
                 jnp.int32, (Hkv, R, D), 1) == (pos_b - eb)
-            kpb[...] = jnp.where(row, knbuf[...].astype(kpb.dtype),
+            kpb[...] = jnp.where(row, knbuf[:, b:b + 1, :].astype(kpb.dtype),
                                  kpb[...])
-            vpb[...] = jnp.where(row, vnbuf[...].astype(vpb.dtype),
+            vpb[...] = jnp.where(row, vnbuf[:, b:b + 1, :].astype(vpb.dtype),
                                  vpb[...])
             wk = pltpu.make_async_copy(
-                kpb, kc_ref.at[li, 0, :, pl.ds(eb, R)], wsem.at[0])
+                kpb, kc_ref.at[li, b, :, pl.ds(eb, R)], wsem.at[0])
             wv = pltpu.make_async_copy(
-                vpb, vc_ref.at[li, 0, :, pl.ds(eb, R)], wsem.at[1])
+                vpb, vc_ref.at[li, b, :, pl.ds(eb, R)], wsem.at[1])
             wk.start()
             wv.start()
             return wk, wv
 
-        def oneshot():
-            wk, wv = write_tile()
+        def oneshot(b):
+            pos_b = pos_bs[b]
+            wk, wv = write_tile(b)
             tpos = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
             valid = tpos < pos_b            # current token handled apart
             if window is not None:
                 valid &= tpos > pos_b - window
-            # full-cache read started in step 0
-            pltpu.make_async_copy(kc_ref.at[li, 0], kb, sem.at[0, 0]).wait()
-            pltpu.make_async_copy(vc_ref.at[li, 0], vb, sem.at[0, 1]).wait()
+            # full-cache read started in start_reads(b)
+            pltpu.make_async_copy(kc_ref.at[li, b], kb,
+                                  sem.at[0, 0]).wait()
+            pltpu.make_async_copy(vc_ref.at[li, b], vb,
+                                  sem.at[0, 1]).wait()
 
             def hloop(hh, _):
                 k_ = kb[hh].astype(jnp.float32)           # [T, D]
                 v_ = vb[hh].astype(jnp.float32)
-                kn = knbuf[hh]                            # [1, D] f32
-                vn = vnbuf[hh]
+                kn = knbuf[hh, b:b + 1, :]                # [1, D] f32
+                vn = vnbuf[hh, b:b + 1, :]
                 for g in range(GH):
                     hq = hh * GH + g
-                    qv = qbuf[hq]                         # [1, D] pre-scaled
+                    qv = qbuf[hq, b:b + 1, :]             # [1, D] pre-scaled
                     s = jnp.sum(k_ * qv, axis=1, keepdims=True)
                     s = jnp.where(valid, s, neg)          # [T, 1]
                     sc = jnp.sum(kn * qv)                 # current token
@@ -256,7 +281,7 @@ def attn_stage(thr, layer_ref, pos_b, x3_ref, cs_ref, norm_ref,
                     e = jnp.where(valid, jnp.exp(s - m), 0.0)
                     ec = jnp.exp(sc - m)
                     den = jnp.sum(e) + ec
-                    o_ref[hq] = ((
+                    o_ref[hq, b:b + 1, :] = ((
                         jnp.sum(v_ * e, axis=0, keepdims=True) + ec * vn
                     ) * (1.0 / den)).astype(o_ref.dtype)
                 return ()
@@ -265,7 +290,9 @@ def attn_stage(thr, layer_ref, pos_b, x3_ref, cs_ref, norm_ref,
             wk.wait()
             wv.wait()
 
-        def chunked():
+        def chunked(b):
+            pos_b = pos_bs[b]
+
             def wait_chunk(slot):
                 buf = pl.ds(slot * Hkv, Hkv)
                 pltpu.make_async_copy(kb.at[buf], kb.at[buf],
@@ -273,12 +300,13 @@ def attn_stage(thr, layer_ref, pos_b, x3_ref, cs_ref, norm_ref,
                 pltpu.make_async_copy(vb.at[buf], vb.at[buf],
                                       sem.at[slot, 1]).wait()
 
+            lo = lo_of(pos_b)
             hi = pos_b // C + 1
-            # first chunk's read started in step 0
+            # first chunk's read started in start_reads(b)
             m_ref[...] = jnp.full_like(m_ref, neg)
             d_ref[...] = jnp.zeros_like(d_ref)
             a_ref[...] = jnp.zeros_like(a_ref)
-            wk, wv = write_tile()
+            wk, wv = write_tile(b)
 
             def cloop(ci, _):
                 slot = jax.lax.rem(ci, 2)
@@ -286,7 +314,7 @@ def attn_stage(thr, layer_ref, pos_b, x3_ref, cs_ref, norm_ref,
 
                 @pl.when(ci + 1 < hi)
                 def _():
-                    start_chunk(ci + 1, jax.lax.rem(ci + 1, 2))
+                    start_chunk(b, ci + 1, jax.lax.rem(ci + 1, 2))
 
                 tpos = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
                         + ci * C)
@@ -299,7 +327,7 @@ def attn_stage(thr, layer_ref, pos_b, x3_ref, cs_ref, norm_ref,
                     v_ = vb[slot * Hkv + hh].astype(jnp.float32)
                     for g in range(GH):
                         hq = hh * GH + g
-                        qv = qbuf[hq]
+                        qv = qbuf[hq, b:b + 1, :]
                         s = jnp.sum(k_ * qv, axis=1, keepdims=True)
                         s = jnp.where(valid, s, neg)          # [C, 1]
                         m_old = m_ref[hq]                     # [1, LANES]
@@ -319,18 +347,18 @@ def attn_stage(thr, layer_ref, pos_b, x3_ref, cs_ref, norm_ref,
             jax.lax.fori_loop(lo, hi, cloop, ())
 
             def hfin(hh, _):
-                kn = knbuf[hh]
-                vn = vnbuf[hh]
+                kn = knbuf[hh, b:b + 1, :]
+                vn = vnbuf[hh, b:b + 1, :]
                 for g in range(GH):
                     hq = hh * GH + g
-                    qv = qbuf[hq]
+                    qv = qbuf[hq, b:b + 1, :]
                     sc = jnp.sum(kn * qv)                     # scalar
                     m_old = m_ref[hq]
                     m_fin = jnp.maximum(m_old, sc)
                     corr = jnp.exp(m_old - m_fin)
                     ec = jnp.exp(sc - jnp.max(m_fin))
                     den = d_ref[hq] * corr + ec               # [1, LANES]
-                    o_ref[hq] = ((
+                    o_ref[hq, b:b + 1, :] = ((
                         a_ref[hq] * corr[:, :1] + ec * vn
                     ) * (1.0 / den[:, :1])).astype(o_ref.dtype)
                 return ()
@@ -339,14 +367,20 @@ def attn_stage(thr, layer_ref, pos_b, x3_ref, cs_ref, norm_ref,
             wk.wait()
             wv.wait()
 
-        if C == T:
-            oneshot()
-        else:
-            chunked()
+        for b in range(B):
+            if b > 0:
+                # b-1's attention released the K/V buffers; start b's
+                # reads (the write-tile pre-read semaphores are also
+                # free again — write_tile(b-1) waited them)
+                start_reads(b)
+            if C == T:
+                oneshot(b)
+            else:
+                chunked(b)
 
     extra = []
     if norm:
-        extra += [pltpu.VMEM((nb, 1, LANES), x3_ref.dtype),
+        extra += [pltpu.VMEM(x3_ref.shape, x3_ref.dtype),
                   pltpu.VMEM((_norm_rows(nb), LANES), norm_ref.dtype),
                   pltpu.SemaphoreType.DMA(())]
     if scale_ref is not None:
@@ -377,9 +411,9 @@ def attn_stage(thr, layer_ref, pos_b, x3_ref, cs_ref, norm_ref,
         ]
     pl.run_scoped(
         outer,
-        pltpu.VMEM((Hq, 1, D), jnp.float32),     # post-RoPE scaled q
-        pltpu.VMEM((Hkv, 1, D), jnp.float32),    # post-RoPE current k
-        pltpu.VMEM((Hkv, 1, D), jnp.float32),    # current v
+        pltpu.VMEM((Hq, B, D), jnp.float32),     # post-RoPE scaled q
+        pltpu.VMEM((Hkv, B, D), jnp.float32),    # post-RoPE current k
+        pltpu.VMEM((Hkv, B, D), jnp.float32),    # current v
         pltpu.VMEM((nb, 1), jnp.float32),
         pltpu.SMEM((nb, 1), jnp.float32),
         pltpu.SMEM((cap,), jnp.int32),
@@ -434,7 +468,7 @@ def attn_block(x3, thr, ws, cos, sin, kc_all, vc_all, layer, pos, *,
         norm3 = norm3.reshape(-1, norm3.shape[-1])
     norm_ops = () if norm3 is None else (norm3,)
     cs = jnp.stack([jnp.asarray(cos, jnp.float32).reshape(D),
-                    jnp.asarray(sin, jnp.float32).reshape(D)])
+                    jnp.asarray(sin, jnp.float32).reshape(D)])[None]
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
     pos = jnp.asarray(pos, jnp.int32).reshape(-1)[:1]
 

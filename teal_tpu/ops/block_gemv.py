@@ -391,12 +391,16 @@ def _norm_fold(x3_ref, norm_ref, xn_ref, g_ref, gsem, layer_ref, *,
     nbp = _norm_rows(nb)
     gcp = _slab_copy(norm_ref, g_ref, gsem, layer_ref, nbp)
     gcp.start()
-    xf = x3_ref[:, 0, :].astype(jnp.float32)       # [nb, 128]
+    xf = x3_ref[...].astype(jnp.float32)           # [nb, rows, 128]
+    # per-sublane-row mean square: row r is batch element r (batched
+    # decode) or THE element (rows == 1); zero-padded rows normalize to
+    # zero either way
     scale = jax.lax.rsqrt(
-        jnp.sum(xf * xf) / jnp.float32(nb * G) + norm_eps)
+        jnp.sum(xf * xf, axis=(0, 2), keepdims=True) / jnp.float32(nb * G)
+        + norm_eps)                                # [1, rows, 1]
     gcp.wait()
-    xn_ref[:, 0, :] = (xf * scale).astype(x3_ref.dtype) \
-        * g_ref[...][:nb].astype(x3_ref.dtype)
+    xn_ref[...] = (xf * scale).astype(x3_ref.dtype) \
+        * g_ref[...][:nb, None, :].astype(x3_ref.dtype)
 
 
 def _select_scan(thr, x_ref, scores_v, scores_s, idx_s, ssem, *,
@@ -428,10 +432,12 @@ def _select_scan(thr, x_ref, scores_v, scores_s, idx_s, ssem, *,
             for j in range(min(ramp_depth - 1, cap)):
                 ramp_start(j, j)
         return cap
+    # group score: max |x| over lanes AND sublane rows — the pooled-max
+    # batched rule (`select_groups_batched`); identical to the row-0
+    # score when rows == 1 or rows are replicated/zero-padded
     scores_v[...] = jnp.max(
-        jnp.abs(x_ref[:, 0, :].astype(jnp.float32)),
-        axis=-1, keepdims=True,
-    )
+        jnp.abs(x_ref[...].astype(jnp.float32)), axis=(1, 2),
+    )[:, None]
     cp = pltpu.make_async_copy(scores_v, scores_s, ssem)
     cp.start()
     cp.wait()
@@ -762,6 +768,17 @@ def pack_x3(x, G: int):
         return x.reshape(nb, 1, LANES)
     x2 = jnp.zeros((nb, LANES), x.dtype)
     return x2.at[:, :G].set(x.reshape(nb, G)).reshape(nb, 1, LANES)
+
+
+def pack_x3_rows(x, G: int):
+    """Batched packed rows: [B, K] -> [K//G, 8, 128], batch b's group-g
+    values in sublane row b of tile-row g, lanes [:G], zero beyond
+    (rows >= B stay zero — pooled selection and the MXU see zeros)."""
+    B, K = x.shape
+    nb = K // G
+    xg = jnp.swapaxes(x.reshape(B, nb, G), 0, 1)       # [nb, B, G]
+    out = jnp.zeros((nb, SUBLANES, LANES), x.dtype)
+    return out.at[:, :B, :G].set(xg)
 
 
 def _norm_rows(nb: int) -> int:

@@ -109,7 +109,7 @@ def _proj_stage(thr, layer_ref, x_buf, out_write, plans, w_ref_groups, *,
     scope_args, _unpack = _scoped_buffers(plans, G, depth, offs[-1])
     extra = []
     if norm_ref is not None:
-        extra += [pltpu.VMEM((nb, 1, LANES), x_buf.dtype),
+        extra += [pltpu.VMEM(x_buf.shape, x_buf.dtype),
                   pltpu.VMEM((_norm_rows(nb), LANES), norm_ref.dtype),
                   pltpu.SemaphoreType.DMA(())]
     if scale_ref is not None:
@@ -130,7 +130,7 @@ def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
                   I: int, Hq: int, Hkv: int, T: int, C: int,
                   window: Optional[int], norm_eps: float, caps, depths,
                   plan_groups, scale: float, fixed_sel: bool,
-                  int8: bool = False):
+                  int8: bool = False, B: int = 1, rows: int = 1):
     na_ref, nm_ref = refs[0], refs[1]
     if int8:
         s_refs = refs[2:6]
@@ -156,11 +156,19 @@ def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
     @pl.when(li == 0)
     def _():
         h3_s[...] = x3_ref[...]
+        if rows > B:
+            # batched: sublane rows >= B of the persistent packed
+            # scratches are never written by the stages — zero them
+            # once so pooled selection/MXU rows see zeros, not garbage
+            attn3_s[...] = jnp.zeros_like(attn3_s)
+            inter3_s[...] = jnp.zeros_like(inter3_s)
 
     nbD, nbI = D // LANES, I // LANES
 
     # --- stage 1: fused attention block -> attn3_s (cache dtype) ---
-    attn_stage(thr_ref[li, 0], li_s, pos_ref[0], h3_s, cs_ref, na_ref,
+    attn_stage(thr_ref[li, 0], li_s,
+               tuple(pos_ref[b] for b in range(B)),
+               h3_s, cs_ref, na_ref,
                w_groups[0], kc_ref, vc_ref, attn3_s,
                G=LANES, plans=plan_groups[0], nb=nbD, cap=caps[0],
                depth=depths[0], norm_eps=norm_eps, Hq=Hq, Hkv=Hkv,
@@ -168,11 +176,13 @@ def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
                fixed_sel=fixed_sel, scale_ref=s_refs[0])
 
     def write_residual(acc, sb):
-        """o/down writer: (scaled) accumulator row + residual stream,
+        """o/down writer: (scaled) accumulator rows + residual stream,
         cast back into the packed VMEM stream (same op order as
-        `fused_select_gather_packed`'s out_packed+res path)."""
+        `fused_select_gather_packed`'s out_packed+res path). Rows are
+        batch elements; rows >= B carry zeros through (zero x -> zero
+        acc -> zero residual)."""
         for j in range(nbD):
-            row = acc[0:1, j * LANES:(j + 1) * LANES]
+            row = acc[0:rows, j * LANES:(j + 1) * LANES]
             if sb is not None:
                 row = row * sb[j:j + 1, :]
             h3_s[j] = (row + h3_s[j].astype(jnp.float32)) \
@@ -188,8 +198,8 @@ def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
     # --- stage 3: gate/up pair (folded mlp norm), silu*mul ---
     def write_gu(acc, sb):
         for j in range(nbI):
-            g_ = acc[0:1, j * LANES:(j + 1) * LANES]
-            u_ = acc[0:1, I + j * LANES:I + (j + 1) * LANES]
+            g_ = acc[0:rows, j * LANES:(j + 1) * LANES]
+            u_ = acc[0:rows, I + j * LANES:I + (j + 1) * LANES]
             if sb is not None:
                 g_ = g_ * sb[j:j + 1, :]
                 u_ = u_ * sb[nbI + j:nbI + j + 1, :]
@@ -214,27 +224,36 @@ def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
 
 
 @functools.partial(jax.jit, static_argnames=("caps", "n_heads", "norm_eps",
-                                             "window", "fixed_sel"))
+                                             "window", "fixed_sel",
+                                             "batch"))
 def token_decode(x3, thresholds, ws, norm_attn3, norm_mlp3, cos, sin,
                  kc_all, vc_all, pos, *, caps, n_heads: int,
                  norm_eps: float = 1e-5, window: Optional[int] = None,
-                 fixed_sel: bool = False):
-    """One-launch decode of the whole layer stack (batch 1, G == 128).
+                 fixed_sel: bool = False, batch: int = 1):
+    """One-launch decode of the whole layer stack (batch <= 8, G == 128).
 
-    x3:  [dim/128, 1, 128] packed RAW residual stream (embedding row)
+    x3:  packed RAW residual stream: [dim/128, 1, 128] (batch 1) or
+         [dim/128, 8, 128] with batch b in sublane row b (`pack_x3_rows`)
     thresholds: [L, 7] f32 per-layer calibrated group thresholds
     ws:  (wq, wk, wv, wo, wgate, wup, wdown), each layer-stacked
-         [L, K, N] (bf16/fp32 arrays or packed-int4 dicts)
+         [L, K, N] (bf16/fp32 arrays, int8 {"q","scale"} dicts, or
+         packed-int4 dicts)
     norm_attn3/norm_mlp3: packed stacked rms_norm gains (`pack_norm3`)
-    cos/sin: [D_head] f32 RoPE rows at the current position
-    kc_all/vc_all: [L, 1, Hkv, T, 128] stacked caches, updated in place
-    pos: traced int32 scalar position
-    caps: static per-stage gather capacities (qkv, o, gate/up, down)
+    cos/sin: [D_head] (batch 1) or [B, D_head] f32 RoPE rows at each
+         sequence's position
+    kc_all/vc_all: [L, B, Hkv, T, 128] stacked caches, updated in place
+    pos: traced int32 positions, scalar or [B] (continuous batching:
+         each sequence decodes at its own depth)
+    caps: static per-stage gather capacities (qkv, o, gate/up, down) —
+         batched selection pools the group score over the batch
+         (`select_groups_batched` semantics), one shared kept set
 
-    Returns (h3' [dim/128, 1, 128], kc_all, vc_all).
+    Returns (h3' in x3's layout, kc_all, vc_all).
     """
-    L, B, Hkv, T, Dh = kc_all.shape
-    assert B == 1 and Dh == LANES and T % ROWTILE == 0, kc_all.shape
+    L, Bc, Hkv, T, Dh = kc_all.shape
+    assert Bc == batch and Dh == LANES and T % ROWTILE == 0, kc_all.shape
+    rows = x3.shape[1]
+    assert rows == (1 if batch == 1 else SUBLANES), (x3.shape, batch)
     nbD = x3.shape[0]
     D = nbD * LANES
     assert n_heads * Dh == D, (n_heads, D)
@@ -288,15 +307,17 @@ def token_decode(x3, thresholds, ws, norm_attn3, norm_mlp3, cos, sin,
 
     na = norm_attn3.reshape(-1, norm_attn3.shape[-1])
     nm = norm_mlp3.reshape(-1, norm_mlp3.shape[-1])
-    cs = jnp.stack([jnp.asarray(cos, jnp.float32).reshape(Dh),
-                    jnp.asarray(sin, jnp.float32).reshape(Dh)])
-    pos = jnp.asarray(pos, jnp.int32).reshape(-1)[:1]
+    cs = jnp.stack([jnp.asarray(cos, jnp.float32).reshape(batch, Dh),
+                    jnp.asarray(sin, jnp.float32).reshape(batch, Dh)],
+                   axis=1)                              # [B, 2, Dh]
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1),
+                           (batch,))
 
     kernel = functools.partial(
         _token_kernel, L=L, D=D, I=I, Hq=n_heads, Hkv=Hkv, T=T, C=C,
         window=window, norm_eps=norm_eps, caps=tuple(caps), depths=depths,
         plan_groups=plan_groups, scale=1.0 / (Dh ** 0.5),
-        fixed_sel=fixed_sel, int8=int8,
+        fixed_sel=fixed_sel, int8=int8, B=batch, rows=rows,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # thresholds [L, 7], pos [1]
@@ -311,10 +332,10 @@ def token_decode(x3, thresholds, ws, norm_attn3, norm_mlp3, cos, sin,
             pl.BlockSpec(memory_space=pl.ANY),               # vc
         ],
         scratch_shapes=[
-            pltpu.VMEM((nbD, 1, LANES), x3.dtype),           # h3 stream
-            pltpu.VMEM((n_heads, 1, LANES), kc_all.dtype),   # attn rows
-            pltpu.VMEM((nbI, 1, LANES), x3.dtype),           # mlp inter
-            pltpu.SMEM((1,), jnp.int32),                     # layer idx
+            pltpu.VMEM((nbD, rows, LANES), x3.dtype),         # h3 stream
+            pltpu.VMEM((n_heads, rows, LANES), kc_all.dtype),  # attn rows
+            pltpu.VMEM((nbI, rows, LANES), x3.dtype),         # mlp inter
+            pltpu.SMEM((1,), jnp.int32),                      # layer idx
         ],
     )
     # flattened operand indices: thr 0, pos 1, x3 2, cs 3, norms 4-5,
@@ -330,7 +351,7 @@ def token_decode(x3, thresholds, ws, norm_attn3, norm_mlp3, cos, sin,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nbD, 1, LANES), x3.dtype),
+            jax.ShapeDtypeStruct((nbD, rows, LANES), x3.dtype),
             jax.ShapeDtypeStruct(kc_all.shape, kc_all.dtype),
             jax.ShapeDtypeStruct(vc_all.shape, vc_all.dtype),
         ],

@@ -926,3 +926,41 @@ def test_token_kernel_chunked_attention():
                                        rtol=1e-5, atol=1e-6)
     finally:
         da.CHUNK = old_chunk
+
+
+def test_token_kernel_batched_equivalence():
+    """Batched (B <= 8) whole-token kernel — pooled-score shared
+    selection, per-sequence RoPE/cache-write/attention at each slot's
+    own position — == the batched per-kernel path
+    (select_groups_batched + XLA attention)."""
+    from teal_tpu.config import get_model_config
+    from teal_tpu.models import llama
+    from teal_tpu.models.llama import KVCache
+
+    cfg = get_model_config("tiny", n_layers=2, n_heads=2, n_kv_heads=2,
+                           dim=256, intermediate_size=384, vocab_size=128)
+    B = 3
+    params = llama.init_params(cfg, jax.random.PRNGKey(21), jnp.float32)
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                        block_keep_frac=0.75, block_thresholding=True,
+                        fused_decode_attention=True)
+    th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
+    # continuous batching: each slot decodes at its own depth
+    pos = jnp.asarray([2, 9, 14], jnp.int32)
+    cache = KVCache.init(cfg, B, 16, jnp.float32)
+    cache = KVCache(
+        k=jax.random.normal(jax.random.PRNGKey(33), cache.k.shape,
+                            jnp.float32) * 0.1,
+        v=jax.random.normal(jax.random.PRNGKey(34), cache.v.shape,
+                            jnp.float32) * 0.1)
+    tok = jnp.asarray([[3], [7], [11]], jnp.int32)
+    got, cg = llama.forward(params, tok, cache, pos, th, cfg=cfg, sp=sp)
+    ref, cr = llama.forward(
+        params, tok, cache, pos, th, cfg=cfg,
+        sp=sp.replace(token_fused=False, fused_decode_attention=False))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(cg.k), np.asarray(cr.k),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cg.v), np.asarray(cr.v),
+                               rtol=1e-5, atol=1e-6)
