@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""On-chip bisect for the int4 @ G=128 backend error (see memory notes).
+
+Runs progressively larger int4 pieces with flush prints between, so the
+first failing stage is identifiable from the log. Usage:
+    timeout 1800 python experiments/int4_bisect.py [--stage N]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def say(*a):
+    print(*a, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", type=int, default=0,
+                    help="run only stage N (0 = all)")
+    args = ap.parse_args()
+
+    from teal_tpu.ops import quant, block_gemv as bg
+
+    def want(n):
+        return args.stage in (0, n)
+
+    if want(1):
+        x = jnp.ones((512, 512), jnp.bfloat16)
+        say("1. matmul:", np.asarray((x @ x)[0, 0]))
+
+    L, D, KV, I = 4, 4096, 4096, 11008
+    G = 128
+    rng = np.random.default_rng(0)
+
+    def mk_int4(K, N):
+        qp = jnp.asarray(rng.integers(-128, 127, size=(L, K // 2, N)),
+                         jnp.int8)
+        nb = K // G
+        sz = jnp.concatenate(
+            [jnp.full((L, nb, 1, N), 1e-3, jnp.float32),
+             jnp.full((L, nb, 1, N), -8e-3, jnp.float32)], axis=2)
+        return {"qp": qp, "sz": sz}
+
+    if want(2):
+        # multi-weight int4 fused select+gather (qkv-shaped): the ramp
+        # issues 6 DMAs per survivor from inside the scalar scan
+        ws = (mk_int4(D, D), mk_int4(D, KV), mk_int4(D, KV))
+        x = jnp.asarray(rng.normal(size=(1, D)), jnp.bfloat16)
+        x3 = bg.pack_x3(x, G)
+        ys = bg.fused_select_gather_gemv(
+            x3, jnp.array([0.0], jnp.float32), ws, G=G, cap=20,
+            layer=jnp.int32(2), out_dtype=jnp.float32)
+        say("2. int4 qkv fused gather:", [np.asarray(y)[0, 0] for y in ys])
+
+    if want(3):
+        # gate/up int4 pair at the deep N (the biggest slabs) + silu
+        ws = (mk_int4(D, I), mk_int4(D, I))
+        x = jnp.asarray(rng.normal(size=(1, D)), jnp.bfloat16)
+        x3 = bg.pack_x3(x, G)
+        y = bg.fused_select_gather_packed(
+            x3, jnp.array([0.0], jnp.float32), ws, G=G, cap=20,
+            layer=jnp.int32(1), out_dtype=jnp.bfloat16, silu_pair=True)
+        say("3. int4 gate/up packed+silu:", np.asarray(y)[0, 0, 0])
+
+    if want(4):
+        # one-launch attention block with int4 qkv (never chip-tested
+        # before the failures)
+        from teal_tpu.ops import attn_block as ab
+
+        Hq = Hkv = 32
+        T = 256
+        ws = (mk_int4(D, D), mk_int4(D, KV), mk_int4(D, KV))
+        x = jnp.asarray(rng.normal(size=(1, D)), jnp.bfloat16)
+        x3 = bg.pack_x3(x, G)
+        kc = jnp.zeros((L, 1, Hkv, T, 128), jnp.bfloat16)
+        vc = jnp.zeros((L, 1, Hkv, T, 128), jnp.bfloat16)
+        cos = jnp.ones((128,), jnp.float32)
+        sin = jnp.zeros((128,), jnp.float32)
+        attn, kc, vc = ab.attn_block(
+            x3, jnp.array([0.0], jnp.float32), ws, cos, sin, kc, vc,
+            jnp.int32(1), jnp.int32(10), G=G, cap=20, n_heads=Hq)
+        say("4. int4 attn_block:", np.asarray(attn)[0, 0, 0, 0])
+
+    if want(5):
+        # full 7B int4 model forward: dense-capacity then 50%
+        from bench import build
+        from teal_tpu.config import SparsityConfig
+        from teal_tpu.models import llama
+        from teal_tpu.models.llama import KVCache
+
+        cfg, params = build("7B", 256, jnp.bfloat16, weights="int4",
+                            block_size=128)
+        say("5a. int4 params built")
+        tok = jnp.asarray([[5]], jnp.int32)
+        th = jnp.zeros((cfg.n_layers, 7), jnp.float32)
+        for name, sp in (
+            ("dense(keep=1)", SparsityConfig(enabled=False)),
+            ("sparse token", SparsityConfig(
+                enabled=True, kernel="block", block_size=128,
+                block_keep_frac=0.5, block_thresholding=True)),
+            ("sparse 4-launch", SparsityConfig(
+                enabled=True, kernel="block", block_size=128,
+                block_keep_frac=0.5, block_thresholding=True,
+                token_fused=False)),
+        ):
+            cache = KVCache.init(cfg, 1, 256, jnp.bfloat16)
+            logits, _ = llama.forward(params, tok, cache, 10, th,
+                                      cfg=cfg, sp=sp)
+            say(f"5. int4 forward [{name}]:", np.asarray(logits)[0, 0, :2])
+
+
+if __name__ == "__main__":
+    main()

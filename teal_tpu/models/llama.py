@@ -526,10 +526,23 @@ def _can_packed_pipeline(params, cfg: ModelConfig, sp: SparsityConfig,
     # kernel (batched attn_stage); the 4-launch pipeline is batch-1
     ok_b = b == 1 or (b <= 8 and sp.token_fused is not False)
     if not (s == 1 and ok_b and packed_norms is not None
-            and cfg.n_experts == 0 and cfg.head_dim == 128
+            and cfg.head_dim == 128
             and cfg.dim % 128 == 0 and cfg.intermediate_size % 128 == 0):
         return False
     lay = params["layers"]
+    if cfg.n_experts > 0:
+        # Mixtral: served ONLY by the token kernel (in-kernel routing +
+        # dense expert gather; ops/token_block._moe_route), batch 1,
+        # array weights, expert dims on the G=128 grid
+        from teal_tpu.ops.block_gemv import effective_block_size
+
+        if not (b == 1 and sp.token_fused is not False
+                and not isinstance(lay["wq"], dict)
+                and not isinstance(lay["wgate"], dict)
+                and effective_block_size(sp.block_size, cfg.dim) == 128
+                and effective_block_size(
+                    sp.block_size, cfg.intermediate_size) == 128):
+            return False
     if isinstance(lay["wq"], dict) and "zero" in lay["wq"]:
         return False   # unpacked int4 {"q","scale","zero"}: XLA dequant
     if isinstance(lay["wq"], dict) and "q" in lay["wq"]:
@@ -614,8 +627,13 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
         if cfg.n_experts == 0:
             g_mlp = block_gemv._shared_group_size(
                 [lay["wgate"], lay["wup"]], sp.block_size, cfg.dim)
-            packed_norms["mlp"] = block_gemv.pack_norm3(
-                lay["mlp_norm"], g_mlp)
+        else:
+            # MoE token path: experts gather at G=128 (the gate
+            # enforces it); the folded norm feeds the in-kernel router
+            g_mlp = block_gemv.effective_block_size(
+                sp.block_size, cfg.dim)
+        packed_norms["mlp"] = block_gemv.pack_norm3(
+            lay["mlp_norm"], g_mlp)
 
     if _can_packed_pipeline(params, cfg, sp, s, b, fused_attn,
                             packed_norms):
@@ -640,6 +658,17 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
                 cs_cos, cs_sin = cos[:, 0], sin[:, 0]
             cap_ = _block_capacity
             lay = params["layers"]
+            moe_kw = {}
+            gu_cap, dn_cap = (cap_(cfg.dim, kf[4]),
+                              cap_(cfg.intermediate_size, kf[6]))
+            if cfg.n_experts > 0:
+                # Mixtral: in-kernel routing + DENSE expert gather
+                # (full capacity — the reference's MoE engine is not
+                # sparsity-integrated either)
+                moe_kw = dict(router=lay["router"],
+                              n_experts_per_tok=cfg.n_experts_per_tok)
+                gu_cap, dn_cap = (cfg.dim // 128,
+                                  cfg.intermediate_size // 128)
             h3, kc, vc = token_block.token_decode(
                 h3, thresholds,
                 (lay["wq"], lay["wk"], lay["wv"], lay["wo"],
@@ -647,11 +676,11 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
                 packed_norms["attn"], packed_norms["mlp"],
                 cs_cos, cs_sin, cache.k, cache.v, pos,
                 caps=(cap_(cfg.dim, kf[0]), cap_(cfg.dim, kf[3]),
-                      cap_(cfg.dim, kf[4]),
-                      cap_(cfg.intermediate_size, kf[6])),
+                      gu_cap, dn_cap),
                 n_heads=cfg.n_heads, norm_eps=cfg.norm_eps,
                 window=cfg.sliding_window,
                 fixed_sel=sp.debug_fixed_selection, batch=b,
+                **moe_kw,
             )
             if b == 1:
                 h = h3.reshape(1, 1, cfg.dim)

@@ -126,18 +126,78 @@ def _proj_stage(thr, layer_ref, x_buf, out_write, plans, w_ref_groups, *,
     )
 
 
+def _moe_route(li_s, xn3_s, router_ref, wbuf, eidx_s, *, E: int,
+               K_EXP: int, nbD: int):
+    """In-kernel Mixtral routing: DMA layer li's packed router rows
+    ([E*nbD, 128] f32, row e*nbD+g is expert e's weights for group g),
+    score each expert on the VPU against the normalized stream, pick
+    the top K_EXP (lowest-index tiebreak, matching jax.lax.top_k),
+    softmax their logits into `wbuf` [K_EXP, 1], and land the expert
+    ids in SMEM (`eidx_s`) for the expert-stack gather DMAs."""
+    nbr = _norm_rows(E * nbD)
+    neg = jnp.float32(-1e30)
+
+    def body(rbuf, rsem, idxv, isem):
+        _slab_copy(router_ref, rbuf, rsem, li_s, nbr).wait()
+        xn = xn3_s[...][:, 0, :].astype(jnp.float32)       # [nbD, 128]
+        logits = [
+            jnp.sum(xn * rbuf[e * nbD:(e + 1) * nbD, :])
+            for e in range(E)
+        ]
+        r = jnp.concatenate(
+            [v.reshape(1, 1) for v in logits], axis=0)     # [E, 1]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (E, 1), 0)
+        taken = jnp.zeros((E, 1), jnp.bool_)
+        vals, idxs = [], []
+        for t in range(K_EXP):
+            masked = jnp.where(taken, neg, r)
+            m = jnp.max(masked)
+            sel = (masked == m) & ~taken
+            idx_t = jnp.min(jnp.where(sel, iota, E))
+            taken = taken | (iota == idx_t)
+            vals.append(m)
+            idxs.append(idx_t)
+        mx = vals[0]                       # vals descend: softmax anchor
+        exps = [jnp.exp(v - mx) for v in vals]
+        den = sum(exps)
+        for t in range(K_EXP):
+            wbuf[t:t + 1, :] = (exps[t] / den).reshape(1, 1)
+        idxv[...] = jnp.concatenate(
+            [i.reshape(1, 1) for i in idxs], axis=0)       # [K_EXP, 1]
+        cp = pltpu.make_async_copy(idxv, eidx_s, isem)
+        cp.start()
+        cp.wait()
+
+    def start_and_run(rbuf, rsem, idxv, isem):
+        _slab_copy(router_ref, rbuf, rsem, li_s, nbr).start()
+        body(rbuf, rsem, idxv, isem)
+
+    pl.run_scoped(
+        start_and_run,
+        pltpu.VMEM((nbr, LANES), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.VMEM((K_EXP, 1), jnp.int32),
+        pltpu.SemaphoreType.DMA(()),
+    )
+
+
 def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
                   I: int, Hq: int, Hkv: int, T: int, C: int,
                   window: Optional[int], norm_eps: float, caps, depths,
                   plan_groups, scale: float, fixed_sel: bool,
-                  int8: bool = False, B: int = 1, rows: int = 1):
+                  int8: bool = False, B: int = 1, rows: int = 1,
+                  E: int = 0, K_EXP: int = 0):
     na_ref, nm_ref = refs[0], refs[1]
+    k = 2
     if int8:
-        s_refs = refs[2:6]
-        k = 6
+        s_refs = refs[k:k + 4]
+        k += 4
     else:
         s_refs = (None,) * 4
-        k = 2
+    moe = E > 0
+    if moe:
+        router_ref = refs[k]
+        k += 1
     w_groups = []   # per stage: one refs-tuple per weight operand
     for plans in plan_groups:
         grp = []
@@ -148,6 +208,8 @@ def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
     kc_in, vc_in = refs[k], refs[k + 1]
     h3_out, kc_ref, vc_ref = refs[k + 2:k + 5]
     h3_s, attn3_s, inter3_s, li_s = refs[k + 5:k + 9]
+    if moe:
+        xn3_s, wbuf, eidx_s, le_s = refs[k + 9:k + 13]
     del kc_in, vc_in      # aliased: kc_ref/vc_ref are the same buffers
 
     li = pl.program_id(0)
@@ -206,17 +268,53 @@ def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
             inter3_s[j] = (g_ * (1.0 / (1.0 + jnp.exp(-g_))) * u_) \
                 .astype(inter3_s.dtype)
 
-    _proj_stage(thr_ref[li, 4], li_s, h3_s, write_gu, plan_groups[2],
-                w_groups[2], G=LANES, nb=nbD, cap=caps[2],
-                depth=depths[2], norm_ref=nm_ref, norm_eps=norm_eps,
-                fixed_sel=fixed_sel, scale_ref=s_refs[2])
+    if moe:
+        # --- MoE MLP (Mixtral): fold the mlp norm once, route on the
+        # VPU, then run each of the K_EXP routed experts densely
+        # (identity kept-set at full capacity) through the same stage
+        # machinery, combining with the softmax routing weights. The
+        # expert stacks are [L*E, K, N]; expert e of layer li is
+        # pseudo-layer li*E + e. Like the reference's Mixtral engine,
+        # the expert FFNs are not sparsified (mixtral-moe has no TEAL
+        # hooks); attention above IS. ---
+        def fold(g_ref, gsem):
+            _norm_fold(h3_s, nm_ref, xn3_s, g_ref, gsem, li_s,
+                       nb=nbD, G=LANES, norm_eps=norm_eps)
 
-    # --- stage 4: down-proj, residual add ---
-    _proj_stage(thr_ref[li, 6], li_s, inter3_s, write_residual,
-                plan_groups[3],
-                w_groups[3], G=LANES, nb=nbI, cap=caps[3],
-                depth=depths[3], fixed_sel=fixed_sel,
-                scale_ref=s_refs[3])
+        pl.run_scoped(fold,
+                      pltpu.VMEM((_norm_rows(nbD), LANES), nm_ref.dtype),
+                      pltpu.SemaphoreType.DMA(()))
+        _moe_route(li_s, xn3_s, router_ref, wbuf, eidx_s,
+                   E=E, K_EXP=K_EXP, nbD=nbD)
+        zero = jnp.float32(0)
+        for t in range(K_EXP):
+            le_s[0] = li * E + eidx_s[t, 0]
+
+            def write_down_weighted(acc, sb, t=t):
+                for j in range(nbD):
+                    row = acc[0:rows, j * LANES:(j + 1) * LANES] \
+                        * wbuf[t:t + 1, :]
+                    h3_s[j] = (row + h3_s[j].astype(jnp.float32)) \
+                        .astype(h3_s.dtype)
+
+            _proj_stage(zero, le_s, xn3_s, write_gu, plan_groups[2],
+                        w_groups[2], G=LANES, nb=nbD, cap=caps[2],
+                        depth=depths[2], fixed_sel=True)
+            _proj_stage(zero, le_s, inter3_s, write_down_weighted,
+                        plan_groups[3], w_groups[3], G=LANES, nb=nbI,
+                        cap=caps[3], depth=depths[3], fixed_sel=True)
+    else:
+        _proj_stage(thr_ref[li, 4], li_s, h3_s, write_gu, plan_groups[2],
+                    w_groups[2], G=LANES, nb=nbD, cap=caps[2],
+                    depth=depths[2], norm_ref=nm_ref, norm_eps=norm_eps,
+                    fixed_sel=fixed_sel, scale_ref=s_refs[2])
+
+        # --- stage 4: down-proj, residual add ---
+        _proj_stage(thr_ref[li, 6], li_s, inter3_s, write_residual,
+                    plan_groups[3],
+                    w_groups[3], G=LANES, nb=nbI, cap=caps[3],
+                    depth=depths[3], fixed_sel=fixed_sel,
+                    scale_ref=s_refs[3])
 
     @pl.when(li == L - 1)
     def _():
@@ -225,11 +323,12 @@ def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
 
 @functools.partial(jax.jit, static_argnames=("caps", "n_heads", "norm_eps",
                                              "window", "fixed_sel",
-                                             "batch"))
+                                             "batch", "n_experts_per_tok"))
 def token_decode(x3, thresholds, ws, norm_attn3, norm_mlp3, cos, sin,
                  kc_all, vc_all, pos, *, caps, n_heads: int,
                  norm_eps: float = 1e-5, window: Optional[int] = None,
-                 fixed_sel: bool = False, batch: int = 1):
+                 fixed_sel: bool = False, batch: int = 1,
+                 router=None, n_experts_per_tok: int = 0):
     """One-launch decode of the whole layer stack (batch <= 8, G == 128).
 
     x3:  packed RAW residual stream: [dim/128, 1, 128] (batch 1) or
@@ -264,10 +363,32 @@ def token_decode(x3, thresholds, ws, norm_attn3, norm_mlp3, cos, sin,
         return (isinstance(w, dict) and "q" in w and "qp" not in w
                 and "zero" not in w)
 
+    moe = router is not None
+    if moe:
+        # Mixtral: expert stacks [L, E, K, N] flatten to [L*E, K, N] —
+        # expert e of layer li is pseudo-layer li*E + e for the gather
+        # DMAs; the packed router rides as one extra ANY operand
+        assert batch == 1 and n_experts_per_tok > 0
+        E = ws[4].shape[1]
+        ws = (*ws[:4],
+              *(w.reshape(L * E, w.shape[2], w.shape[3])
+                for w in ws[4:7]))
+        nbr = E * nbD
+        rp = jnp.swapaxes(jnp.asarray(router, jnp.float32), 1, 2)
+        rp = rp.reshape(L, nbr, LANES)                 # [L, E*nbD, 128]
+        padr = _norm_rows(nbr) - nbr
+        if padr:
+            rp = jnp.pad(rp, ((0, 0), (0, padr), (0, 0)))
+        rp_ops = (rp.reshape(-1, LANES),)
+    else:
+        E = 0
+        rp_ops = ()
+
     int8 = any(_is_int8(w) for w in ws)
     if int8:
         assert all(_is_int8(w) for w in ws), \
             "int8 token kernel needs all seven projections int8"
+        assert not moe
         from teal_tpu.ops.block_gemv import pack_norm3
 
         def pack_s(*scales):
@@ -318,14 +439,21 @@ def token_decode(x3, thresholds, ws, norm_attn3, norm_mlp3, cos, sin,
         window=window, norm_eps=norm_eps, caps=tuple(caps), depths=depths,
         plan_groups=plan_groups, scale=1.0 / (Dh ** 0.5),
         fixed_sel=fixed_sel, int8=int8, B=batch, rows=rows,
+        E=E, K_EXP=n_experts_per_tok,
     )
+    moe_scratch = [] if not moe else [
+        pltpu.VMEM((nbD, rows, LANES), x3.dtype),         # normalized xn
+        pltpu.VMEM((n_experts_per_tok, 1), jnp.float32),  # routing w
+        pltpu.SMEM((n_experts_per_tok, 1), jnp.int32),    # expert ids
+        pltpu.SMEM((1,), jnp.int32),                      # pseudo-layer
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # thresholds [L, 7], pos [1]
         grid=(L,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),     # x3
                   pl.BlockSpec(memory_space=pltpu.VMEM)]     # cos/sin
         + [pl.BlockSpec(memory_space=pl.ANY)]
-        * (2 + len(s_ops) + len(flat) + 2),
+        * (2 + len(s_ops) + len(rp_ops) + len(flat) + 2),
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),           # h3'
             pl.BlockSpec(memory_space=pl.ANY),               # kc
@@ -336,11 +464,11 @@ def token_decode(x3, thresholds, ws, norm_attn3, norm_mlp3, cos, sin,
             pltpu.VMEM((n_heads, rows, LANES), kc_all.dtype),  # attn rows
             pltpu.VMEM((nbI, rows, LANES), x3.dtype),         # mlp inter
             pltpu.SMEM((1,), jnp.int32),                      # layer idx
-        ],
+        ] + moe_scratch,
     )
     # flattened operand indices: thr 0, pos 1, x3 2, cs 3, norms 4-5,
-    # [int8 scales], *flat, kc, vc
-    kc_idx = 6 + len(s_ops) + len(flat)
+    # [int8 scales], [moe router], *flat, kc, vc
+    kc_idx = 6 + len(s_ops) + len(rp_ops) + len(flat)
     weight_bytes = sum(
         cap * sum((LANES // 2 if p.kind == "int4" else LANES) * p.N
                   * p.arrays[0].dtype.itemsize for p in plans)
@@ -366,6 +494,6 @@ def token_decode(x3, thresholds, ws, norm_attn3, norm_mlp3, cos, sin,
                                 * kc_all.dtype.itemsize),
             transcendentals=L * (n_heads * T + I),
         ),
-    )(thresholds.astype(jnp.float32), pos, x3, cs, na, nm, *s_ops, *flat,
-      kc_all, vc_all)
+    )(thresholds.astype(jnp.float32), pos, x3, cs, na, nm, *s_ops,
+      *rp_ops, *flat, kc_all, vc_all)
     return h3_out, kc_all, vc_all

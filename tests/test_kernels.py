@@ -964,3 +964,39 @@ def test_token_kernel_batched_equivalence():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(cg.v), np.asarray(cr.v),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_token_kernel_moe_equivalence():
+    """Mixtral MoE through the whole-token kernel (in-kernel routing:
+    packed router rows -> VPU expert scores -> top-k + softmax ->
+    dense expert gather via the pseudo-layer li*E+e stack) == the
+    fallback path (block-sparse attention + XLA moe_ffn decode)."""
+    from teal_tpu.config import get_model_config
+    from teal_tpu.models import llama
+    from teal_tpu.models.llama import KVCache
+
+    cfg = get_model_config("tiny", n_layers=2, n_heads=2, n_kv_heads=2,
+                           dim=256, intermediate_size=384, vocab_size=128,
+                           n_experts=4, n_experts_per_tok=2)
+    assert cfg.head_dim == 128
+    params = llama.init_params(cfg, jax.random.PRNGKey(17), jnp.float32)
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                        block_keep_frac=0.75, block_thresholding=True,
+                        fused_decode_attention=True)
+    th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
+    for p in (0, 5):
+        cache = KVCache.init(cfg, 1, 16, jnp.float32)
+        cache = KVCache(
+            k=jax.random.normal(jax.random.PRNGKey(p), cache.k.shape,
+                                jnp.float32) * 0.1,
+            v=jax.random.normal(jax.random.PRNGKey(p + 1), cache.v.shape,
+                                jnp.float32) * 0.1)
+        tok = jnp.asarray([[3 + p]], jnp.int32)
+        got, cg = llama.forward(params, tok, cache, p, th, cfg=cfg, sp=sp)
+        ref, cr = llama.forward(params, tok, cache, p, th, cfg=cfg,
+                                sp=sp.replace(token_fused=False))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=3e-4, atol=3e-4,
+                                   err_msg=f"moe pos={p}")
+        np.testing.assert_allclose(np.asarray(cg.k), np.asarray(cr.k),
+                                   rtol=1e-5, atol=1e-6)
