@@ -116,11 +116,39 @@ def model_group_sizes(cfg: ModelConfig, block_size: int = 32):
     return tuple(sorted({proj_group_size(cfg, p, block_size) for p in PROJS}))
 
 
+def _abs_icdf_tail(d: Distribution, q: float, q0: float = 0.98) -> float:
+    """|x| quantile robust to the histogram's 1%/99% clamp: TEAL's capture
+    protocol clamps at the 1%/99% order statistics (`grab_acts`), so ~1%
+    of the mass is an atom at the edge bin and empirical quantiles above
+    ~q0 are unresolvable (large-G group thresholds need e.g. the 99.46th
+    percentile: 0.5^(1/128)). Beyond q0 we extrapolate with the
+    better-fitting moment family (h1≈Gaussian / h2≈Laplace on the shipped
+    artifacts, `calibration/analysis.py`), anchored to the empirical
+    quantile at q0 so only the tail SHAPE comes from the fit:
+    t(q) = t_emp(q0) * t_fit(q) / t_fit(q0)."""
+    if q <= q0:
+        return d.abs_icdf(q)
+    import math
+    from statistics import NormalDist
+
+    from teal_tpu.calibration.analysis import fit_distribution
+
+    r = fit_distribution(d)
+    if r.better == "gaussian":
+        def tf(p):
+            return r.std * NormalDist().inv_cdf((1.0 + p) / 2.0)
+    else:
+        def tf(p):
+            return -r.laplace_b * math.log1p(-p)
+    return d.abs_icdf(q0) * tf(q) / tf(q0)
+
+
 def group_thresholds_from_sparsities(
     hist_root: str,
     cfg: ModelConfig,
     sparsities: np.ndarray,
     block_size: int = 32,
+    iid_fallback: bool = True,
 ) -> np.ndarray:
     """sparsities [n_layers, 7] → [n_layers, 7] GROUP-SCORE thresholds:
     a group is dropped when its max-|x| score <= t, with t =
@@ -133,7 +161,19 @@ def group_thresholds_from_sparsities(
     non-uniform schedules are first-class: thresholds are data ([L, 7])
     in the fast engine, so greedy per-layer profiles run at full speed
     (the reference never wired greedy into its fast engine,
-    README.md:109)."""
+    README.md:109).
+
+    When a group-score histogram is absent (TEAL's shipped
+    `models/<M>/histograms/` are elementwise-only — `grab_acts.py` never
+    recorded group scores), `iid_fallback` derives the threshold from
+    the ELEMENTWISE histogram via the order statistic of the group max:
+    P(max over G of |x| <= t) = F_|x|(t)^G, so the threshold dropping a
+    fraction `s` of groups is abs_icdf(s^(1/G)). Exact for independent
+    channels; correlated channels make the true drop rate slightly
+    higher (the channel permutation, which clusters correlated channels,
+    moves it back toward iid — docs/ACCURACY.md). Self-calibrated group
+    histograms (CLI `calibrate`, which records `h{1,2}_g<G>`) remain the
+    exact route."""
     sparsities = np.asarray(sparsities, np.float64)
     th = np.zeros((cfg.n_layers, len(PROJS)), np.float32)
     gsizes = {p: proj_group_size(cfg, p, block_size) for p in PROJS}
@@ -146,17 +186,27 @@ def group_thresholds_from_sparsities(
         distrs = {}
         for j, proj in enumerate(PROJS):
             module, htype = PROJ_GROUP[proj]
-            key = f"{htype}_g{gsizes[proj]}"
-            if key not in hists[module]:
+            G = gsizes[proj]
+            key = f"{htype}_g{G}"
+            s = float(sparsities[l, j])
+            if key in hists[module]:
+                if key + module not in distrs:
+                    distrs[key + module] = Distribution(hists[module][key])
+                th[l, j] = distrs[key + module].icdf(s) if s > 0 else 0.0
+            elif iid_fallback:
+                if htype + module not in distrs:
+                    distrs[htype + module] = Distribution(
+                        hists[module][htype])
+                th[l, j] = (
+                    _abs_icdf_tail(distrs[htype + module], s ** (1.0 / G))
+                    if s > 0 else 0.0
+                )
+            else:
                 raise KeyError(
                     f"{key} not in layer-{l}/{module} histograms — "
                     "re-run calibration with group_sizes including "
-                    f"{gsizes[proj]} (see model_group_sizes)"
+                    f"{G} (see model_group_sizes)"
                 )
-            if key not in distrs:
-                distrs[key + module] = Distribution(hists[module][key])
-            s = float(sparsities[l, j])
-            th[l, j] = distrs[key + module].icdf(s) if s > 0 else 0.0
     return th
 
 

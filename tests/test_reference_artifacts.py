@@ -109,3 +109,66 @@ def test_thresholds_from_shipped_artifacts_full_model():
     assert np.all(th > 0) and np.all(np.isfinite(th))
     # thresholds are per-group: q/k/v share h1, gate/up share h1
     assert np.allclose(th[:, 0], th[:, 1]) and np.allclose(th[:, 4], th[:, 5])
+
+
+def test_group_threshold_iid_fallback_on_shipped_histograms():
+    """TEAL's shipped histograms are elementwise-only; the block fast
+    path's group-score thresholds fall back to the iid order-statistic
+    mapping t = abs_icdf(s^(1/G)). Check (a) the full greedy->group
+    pipeline runs on the real Mistral-7B artifacts, and (b) the mapping
+    is self-consistent: sampling iid from the elementwise histogram and
+    grouping, the fraction of groups with max-|x| <= t is ~s."""
+    from teal_tpu.config import get_model_config
+    from teal_tpu.calibration.thresholds import (
+        capacity_fracs_for_greedy,
+        group_thresholds_for_greedy,
+    )
+    from teal_tpu.ops.distribution import Distribution, load_histograms
+
+    root = os.path.join(REF, "Mistral-7B")
+    if not os.path.isdir(root):
+        pytest.skip("Mistral artifacts missing")
+    cfg = get_model_config("Mistral-7B")
+    th = group_thresholds_for_greedy(root, cfg, 0.5, block_size=128)
+    assert th.shape == (cfg.n_layers, 7)
+    assert np.all(th > 0) and np.all(np.isfinite(th))
+    caps = capacity_fracs_for_greedy(os.path.join(root, "lookup"), cfg, 0.5)
+    assert all(0 < c <= 1 for c in caps)
+
+    # (b) in-range self-consistency on one layer's h1: at G=32 the needed
+    # quantile (0.5^(1/32) = .9786) is below the histogram's 1% clamp, so
+    # resampling the histogram itself must reproduce the drop rate
+    hists = load_histograms(
+        os.path.join(root, "histograms", "layer-3", "self_attn"))
+    d = Distribution(hists["h1"])
+    G, s = 32, 0.5
+    t = d.abs_icdf(s ** (1.0 / G))
+    rng = np.random.default_rng(0)
+    p = np.asarray(hists["h1"].counts, np.float64)
+    vals = rng.choice(np.asarray(hists["h1"].centers), size=(8192, G),
+                      p=p / p.sum())
+    drop = float(np.mean(np.abs(vals).max(axis=1) <= t))
+    assert abs(drop - s) < 0.05, (drop, t)
+
+
+def test_group_threshold_tail_extrapolation_gaussian_truth():
+    """Beyond the histogram's 1%/99% clamp (large-G quantiles) the iid
+    fallback extrapolates with the fitted family. Ground truth: Gaussian
+    samples captured under TEAL's clamped-histogram protocol; the G=128
+    threshold must reproduce the TRUE Gaussian group-drop rate, which
+    the clamped empirical quantile alone cannot (it lands at ~0.99^128
+    = 0.28)."""
+    from teal_tpu.calibration.thresholds import _abs_icdf_tail
+    from teal_tpu.ops.distribution import Distribution
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(0.0, 1.7, size=2_000_000)
+    d = Distribution.from_values(x)    # TEAL protocol: 1%/99% clamp
+    G, s = 128, 0.5
+    t = _abs_icdf_tail(d, s ** (1.0 / G))
+    fresh = np.abs(rng.normal(0.0, 1.7, size=(8192, G))).max(axis=1)
+    drop = float(np.mean(fresh <= t))
+    assert abs(drop - s) < 0.06, (drop, t)
+    # monotone in s, and s=0 -> everything kept
+    t40 = _abs_icdf_tail(d, 0.4 ** (1.0 / G))
+    assert t40 < t
