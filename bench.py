@@ -198,8 +198,12 @@ def build(model_name: str, max_seq: int, dtype, random_init: bool = False,
 
 
 def decode_tps(cfg, params, sp, max_seq: int, n_short: int, n_long: int,
-               reps: int = 3, batch: int = 1) -> float:
-    """tokens/s from slope timing of an on-device greedy decode scan."""
+               reps: int = 3, batch: int = 1, thresholds=None) -> float:
+    """tokens/s from slope timing of an on-device greedy decode scan.
+
+    thresholds: optional [L, 7] group-score threshold array (per-layer
+    schedules are DATA in the fast engine); default zeros = first-cap
+    groups kept, exact byte control by `sp.block_keep_frac`."""
     from teal_tpu.models import llama
     from teal_tpu.models.llama import KVCache
     from teal_tpu.utils.bench_utils import decode_compiler_options
@@ -227,7 +231,8 @@ def decode_tps(cfg, params, sp, max_seq: int, n_short: int, n_long: int,
         return run
 
     run_s, run_l = make(n_short), make(n_long)
-    th = jnp.zeros((cfg.n_layers, 7), jnp.float32)
+    th = (jnp.zeros((cfg.n_layers, 7), jnp.float32) if thresholds is None
+          else jnp.asarray(thresholds, jnp.float32))
 
     def fresh(i):
         cache = KVCache.init(cfg, batch, max_seq, dtype)

@@ -616,7 +616,7 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
     # block decode): built ONCE here, outside the layer scan
     packed_norms = None
     if (s == 1 and b <= 8 and sp.enabled and sp.kernel == "block"
-            and sp.block_thresholding):
+            and sp.block_thresholding and cfg.dim % 128 == 0):
         from teal_tpu.ops import block_gemv
 
         lay = params["layers"]

@@ -67,8 +67,12 @@ def effective_block_size(G: int, K: int) -> int:
     so deep input dims double the group size to keep the per-step DMA
     large enough to amortize it (e.g. down-proj K=11008: G 32 -> 64).
     Capped at one lane tile (128) so a group's x values fit one row of
-    the kernel's [rows, 128] input layout."""
+    the kernel's [rows, 128] input layout, and clamped to K for small
+    dims (a tiny-config dim below the requested block size would
+    otherwise give zero groups)."""
     g = G
+    while g > K and g % 2 == 0:
+        g //= 2
     while K // g > 256 and K % (g * 2) == 0 and g < LANES:
         g *= 2
     return g
