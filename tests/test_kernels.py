@@ -1000,3 +1000,43 @@ def test_token_kernel_moe_equivalence():
                                    err_msg=f"moe pos={p}")
         np.testing.assert_allclose(np.asarray(cg.k), np.asarray(cr.k),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_token_kernel_int8_batched_equivalence():
+    """int8 weight-only + batched (B <= 8) whole-token kernel: the
+    per-out-channel scale rows broadcast over the batch sublane rows in
+    each stage writer — == the batched per-kernel int8 path."""
+    from teal_tpu.config import get_model_config
+    from teal_tpu.models import llama
+    from teal_tpu.models.llama import KVCache
+
+    cfg = get_model_config("tiny", n_layers=2, n_heads=2, n_kv_heads=1,
+                           dim=256, intermediate_size=384, vocab_size=128)
+    B = 3
+    params = llama.init_params(cfg, jax.random.PRNGKey(41), jnp.float32)
+
+    def q8(stack):
+        wf = stack.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(wf), axis=1)
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        q = jnp.clip(jnp.round(wf / scale[:, None, :]),
+                     -128, 127).astype(jnp.int8)
+        return {"q": q, "scale": scale}
+
+    for n in ("wq", "wk", "wv", "wo", "wgate", "wup", "wdown"):
+        params["layers"][n] = q8(params["layers"][n])
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                        block_keep_frac=0.75, block_thresholding=True,
+                        fused_decode_attention=True)
+    th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
+    pos = jnp.asarray([1, 6, 12], jnp.int32)
+    cache = KVCache.init(cfg, B, 16, jnp.bfloat16)
+    tok = jnp.asarray([[3], [7], [11]], jnp.int32)
+    got, cg = llama.forward(params, tok, cache, pos, th, cfg=cfg, sp=sp)
+    ref, cr = llama.forward(
+        params, tok, cache, pos, th, cfg=cfg,
+        sp=sp.replace(token_fused=False, fused_decode_attention=False))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(cg.k), np.asarray(cr.k),
+                               rtol=2e-2, atol=2e-2)
