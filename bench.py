@@ -198,12 +198,16 @@ def build(model_name: str, max_seq: int, dtype, random_init: bool = False,
 
 
 def decode_tps(cfg, params, sp, max_seq: int, n_short: int, n_long: int,
-               reps: int = 3, batch: int = 1, thresholds=None) -> float:
+               reps: int = 3, batch: int = 1, thresholds=None,
+               start_pos: int = 0) -> float:
     """tokens/s from slope timing of an on-device greedy decode scan.
 
     thresholds: optional [L, 7] group-score threshold array (per-layer
     schedules are DATA in the fast engine); default zeros = first-cap
-    groups kept, exact byte control by `sp.block_keep_frac`."""
+    groups kept, exact byte control by `sp.block_keep_frac`.
+    start_pos: decode depth (deep-context benching: the KV cache holds
+    `start_pos` live positions' bytes — zeros, but speed only sees
+    bytes). Decode runs [start_pos, start_pos + n)."""
     from teal_tpu.models import llama
     from teal_tpu.models.llama import KVCache
     from teal_tpu.utils.bench_utils import decode_compiler_options
@@ -224,7 +228,8 @@ def decode_tps(cfg, params, sp, max_seq: int, n_short: int, n_long: int,
                 return (tok, cache), ()
 
             (token, cache), _ = jax.lax.scan(
-                body, (token, cache), jnp.arange(n, dtype=jnp.int32)
+                body, (token, cache),
+                start_pos + jnp.arange(n, dtype=jnp.int32)
             )
             return jnp.sum(token)
 
@@ -349,6 +354,10 @@ def main():
                          "permutation G=128 quality ~= G=32, "
                          "docs/ACCURACY.md)")
     ap.add_argument("--max-seq", type=int, default=256)
+    ap.add_argument("--start-pos", type=int, default=0,
+                    help="decode depth (deep-context row: attention "
+                         "reads start_pos live cache positions; clamped "
+                         "so the run fits max_seq)")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--random-init", action="store_true")
     ap.add_argument("--sweep", action="store_true",
@@ -394,6 +403,7 @@ def main():
     kernel_numerics_check()
 
     n_short, n_long = (4, 16) if args.quick else (8, 64)
+    args.start_pos = max(0, min(args.start_pos, args.max_seq - n_long))
     dtype = jnp.bfloat16
 
     cfg, params = build(args.model, args.max_seq, dtype,
@@ -409,7 +419,8 @@ def main():
     if "dense" in args.phases:
         log("phase: dense")
         tps_dense = decode_tps(cfg, params, dense_sp, args.max_seq,
-                               n_short, n_long, batch=args.batch)
+                               n_short, n_long, batch=args.batch,
+                               start_pos=args.start_pos)
         log(f"dense:  {tps_dense:.2f} tok/s  "
             f"({model_gb * tps_dense:.0f} GB/s effective)")
 
@@ -425,7 +436,8 @@ def main():
     if "sparse" in args.phases:
         log("phase: sparse")
         tps_sparse = decode_tps(cfg, params, sparse_sp, args.max_seq,
-                                n_short, n_long, batch=args.batch)
+                                n_short, n_long, batch=args.batch,
+                                start_pos=args.start_pos)
         log(f"sparse: {tps_sparse:.2f} tok/s  "
             f"({model_gb * (1 - args.sparsity) * tps_sparse:.0f} "
             "GB/s effective)")
