@@ -14,6 +14,7 @@ for job in "$@"; do
     case "$job" in
         quick)       run quick --quick ;;
         long2048)    run long2048 --quick --max-seq 2048 ;;
+        deep2048)    run deep2048 --quick --max-seq 2048 --start-pos 2032 ;;
         b13int8)     run 13b_int8 --quick --model 13B --weights int8 ;;
         b13int4)     run 13b_int4 --quick --model 13B --weights int4 ;;
         mistral)     run mistral --quick --model Mistral-7B ;;
