@@ -29,12 +29,15 @@ CSV_HEADER = ["Effective Sparsity", "Activation Error", "Baseline Error"] + list
 
 
 def load_layer_distributions(hist_root: str, layer: int) -> Dict[str, Distribution]:
-    """Distributions for one layer keyed '<module>/<htype>'."""
+    """Distributions for one layer keyed '<module>/<htype>'. Missing
+    histograms are skipped (MoE calibrations record no shared mlp h2 —
+    experts run dense; `grab_acts.calibrate`)."""
     out = {}
     for module in ("self_attn", "mlp"):
         hists = load_histograms(os.path.join(hist_root, f"layer-{layer}", module))
         for htype in ("h1", "h2"):
-            out[f"{module}/{htype}"] = Distribution(hists[htype])
+            if htype in hists:
+                out[f"{module}/{htype}"] = Distribution(hists[htype])
     return out
 
 
@@ -52,6 +55,9 @@ def thresholds_from_sparsities(
     for l in range(cfg.n_layers):
         distrs = load_layer_distributions(hist_root, l)
         for j, proj in enumerate(PROJS):
+            module, htype = PROJ_GROUP[proj]
+            if f"{module}/{htype}" not in distrs:
+                continue   # MoE: no shared mlp h2 — threshold stays 0
             th[l, j] = threshold_for_sparsity(
                 proj_distribution(distrs, proj), float(sparsities[l, j])
             )
@@ -189,6 +195,8 @@ def group_thresholds_from_sparsities(
             G = gsizes[proj]
             key = f"{htype}_g{G}"
             s = float(sparsities[l, j])
+            if htype not in hists[module] and key not in hists[module]:
+                continue   # MoE: no shared mlp h2 — threshold stays 0
             if key in hists[module]:
                 if key + module not in distrs:
                     distrs[key + module] = Distribution(hists[module][key])

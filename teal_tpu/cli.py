@@ -86,6 +86,16 @@ def _thresholds(args, cfg):
     if not args.hist_path or args.sparsity == 0:
         return np.zeros((cfg.n_layers, 7), np.float32)
     group = getattr(args, "group_thresholds", False)
+    if (group and getattr(args, "mode", None) != "group"
+            and getattr(args, "kernel", None) != "block"):
+        # group-score thresholds are on a different scale than the
+        # elementwise |x| > t rule — applying them through mode="teal"
+        # would silently over-sparsify (group max-|x| >> elementwise t)
+        sys.exit(
+            "error: --group-thresholds produces GROUP-SCORE thresholds; "
+            "combine it with --mode group (accuracy path) or "
+            "--kernel block (fast path), not the elementwise rule."
+        )
     greedy = getattr(args, "greedy", False)
     bs = getattr(args, "block_size", 32)
     teal_root = os.path.dirname(args.hist_path.rstrip("/"))

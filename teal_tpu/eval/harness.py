@@ -86,8 +86,21 @@ class ScoreModel:
         (exact greedy-match, per lm_eval semantics — not a probability
         proxy)."""
         ids = np.asarray(list(context_ids) + list(continuation_ids))
-        lp, greedy = self._token_logprobs(ids)
         n_ctx = len(context_ids)
+        if len(ids) > self.max_seq:
+            # lm_eval convention: truncate CONTEXT from the left, keep
+            # the whole continuation (plus >= 1 conditioning token) —
+            # _token_logprobs' own tail-truncation would otherwise
+            # desync the n_ctx indexing below
+            drop = len(ids) - self.max_seq
+            if drop >= n_ctx:
+                raise ValueError(
+                    f"continuation ({len(continuation_ids)} tokens) "
+                    f"does not fit max_seq={self.max_seq} with at least "
+                    "one context token")
+            ids = ids[drop:]
+            n_ctx -= drop
+        lp, greedy = self._token_logprobs(ids)
         cont_lp = lp[n_ctx - 1:]
         cont_pred = greedy[n_ctx - 1:]
         cont_true = ids[n_ctx:]

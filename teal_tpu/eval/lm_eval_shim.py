@@ -66,14 +66,20 @@ class MultipleChoiceTask:
                     metadata={"doc": di, "choice": ci},
                 ))
         results = lm.loglikelihood(requests)
+        # group results per doc in one pass (rescanning the request list
+        # per doc is O(docs x requests) — minutes of pure Python on a
+        # hellaswag-sized task after inference already finished)
+        by_doc: Dict[int, list] = {}
+        for req, (lp, _greedy) in zip(requests, results):
+            cont = self.docs[req.metadata["doc"]]["choices"][
+                req.metadata["choice"]]
+            by_doc.setdefault(req.metadata["doc"], []).append(
+                # byte length, matching the harness's acc_norm definition
+                (req.metadata["choice"], lp, len(cont.encode("utf-8"))))
         n_correct = 0
         n_correct_norm = 0
         for di, doc in enumerate(self.docs):
-            scores = []
-            for req, (lp, _greedy) in zip(requests, results):
-                if req.metadata["doc"] == di:
-                    cont = doc["choices"][req.metadata["choice"]]
-                    scores.append((req.metadata["choice"], lp, len(cont)))
+            scores = by_doc[di]
             best = max(scores, key=lambda s: s[1])[0]
             # byte-length-normalized variant (acc_norm in the harness)
             best_norm = max(scores, key=lambda s: s[1] / max(s[2], 1))[0]

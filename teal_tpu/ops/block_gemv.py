@@ -67,11 +67,12 @@ def effective_block_size(G: int, K: int) -> int:
     so deep input dims double the group size to keep the per-step DMA
     large enough to amortize it (e.g. down-proj K=11008: G 32 -> 64).
     Capped at one lane tile (128) so a group's x values fit one row of
-    the kernel's [rows, 128] input layout, and clamped to K for small
-    dims (a tiny-config dim below the requested block size would
-    otherwise give zero groups)."""
+    the kernel's [rows, 128] input layout, and clamped to the largest
+    power-of-two divisor of K that is <= the request (tiny-config dims
+    below or misaligned with the requested block size would otherwise
+    give zero/ragged groups)."""
     g = G
-    while g > K and g % 2 == 0:
+    while g > 1 and (g > K or K % g):
         g //= 2
     while K // g > 256 and K % (g * 2) == 0 and g < LANES:
         g *= 2
@@ -625,8 +626,10 @@ def fused_select_gather_gemv(x3, thr, ws, *, G: int, cap: int,
                              fixed_sel: bool = False):
     """Threshold-mode sparse GEMV with in-kernel selection.
 
-    x3:  [nb, 8, 128] — group g's x values in lanes [:G], replicated over
-         sublanes, zero beyond G (built once per projection-input).
+    x3:  [nb, 1, 128] (`pack_x3`) — group g's x values in row g's lanes
+         [:G], zero beyond G; the kernel broadcasts the single sublane
+         row to the MXU lhs in-VMEM (batched callers pass [nb, 8, 128]
+         with batch b in sublane row b, `pack_x3_rows`).
     thr: [1] f32 group-score threshold.
     ws:  weights, 2D [K, N] or stacked 3D [L, K, N] (+ `layer`).
     norm3: optional packed rms_norm gain ([nb, 1, 128] or layer-stacked

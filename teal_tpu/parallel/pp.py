@@ -64,7 +64,9 @@ def pp_param_specs(params):
         "embed": P(),
         "layers": jax.tree.map(_stage_spec, params["layers"]),
         "final_norm": P(),
-        "lm_head": P(),
+        # lm_head may be a quantized {"q","scale"} dict — replicate
+        # every leaf (spec tree must mirror the param subtree)
+        "lm_head": jax.tree.map(lambda a: P(), params["lm_head"]),
     }
 
 
@@ -105,9 +107,11 @@ def pp_forward(params, tokens, cache: KVCache, pos, thresholds, *,
     )
     layer_specs = jax.tree.map(_stage_spec, params["layers"])
 
+    head_specs = jax.tree.map(lambda a: P(), params["lm_head"])
+
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), layer_specs, P(), P(), P(), P("pp"), P("pp"),
+        in_specs=(P(), layer_specs, P(), head_specs, P(), P("pp"), P("pp"),
                   P(), P("pp", None)),
         out_specs=(P(), KVCache(P("pp"), P("pp"))),
         check_vma=False,
@@ -179,9 +183,9 @@ def pp_forward(params, tokens, cache: KVCache, pos, thresholds, *,
                 vc_loc, vc_mb, off, axis=1)
 
             # last stage emits logits for its (valid) microbatch
+            # (llama._lm_head handles bf16 / int8 / int4 head formats)
             hn = llama.rms_norm(h_out, final_norm, cfg.norm_eps)
-            logits_m = jnp.matmul(
-                hn, lm_head, preferred_element_type=jnp.float32)
+            logits_m = llama._lm_head({"lm_head": lm_head}, hn)
             write = (stage == n_stages - 1) & valid
             logits_buf = jnp.where(
                 write,

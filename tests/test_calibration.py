@@ -303,3 +303,45 @@ def test_per_layer_thresholds_drive_per_layer_selection():
                             jnp.asarray(th), cfg=cfg, sp=sp_twin)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_effective_block_size_misaligned_dims():
+    """The clamp picks the largest power-of-two divisor of K <= the
+    request — misaligned tiny dims never produce zero/ragged groups."""
+    from teal_tpu.ops.block_gemv import effective_block_size
+
+    assert effective_block_size(128, 64) == 64
+    assert effective_block_size(128, 48) == 16
+    assert effective_block_size(128, 192) == 64
+    assert effective_block_size(32, 11008) == 64   # deep-dim growth kept
+    assert effective_block_size(128, 4096) == 128
+
+
+def test_thresholds_skip_missing_moe_h2(tmp_path):
+    """MoE calibrations record no shared mlp h2; threshold builders must
+    leave those entries at 0 instead of raising (experts run dense)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from teal_tpu.calibration.grab_acts import calibrate
+    from teal_tpu.calibration.thresholds import (
+        group_thresholds_from_sparsities, thresholds_from_sparsities)
+    from teal_tpu.config import get_model_config
+    from teal_tpu.models import llama
+
+    cfg = get_model_config("tiny", n_layers=2, n_heads=2, n_kv_heads=2,
+                           dim=256, intermediate_size=384, vocab_size=64,
+                           n_experts=2, n_experts_per_tok=1)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    tokens = np.arange(32, dtype=np.int32).reshape(1, 32) % 64
+    out = calibrate(params, cfg, tokens, str(tmp_path),
+                    save_layer_inputs=False, group_sizes=(128,))
+    hist_root = f"{out}/histograms"
+    s = np.full((cfg.n_layers, 7), 0.5)
+    th_e = thresholds_from_sparsities(hist_root, cfg, s)
+    th_g = group_thresholds_from_sparsities(hist_root, cfg, s, 128)
+    for th in (th_e, th_g):
+        assert th.shape == (2, 7)
+        assert np.all(th[:, 6] == 0.0)          # down-proj: no mlp h2
+        assert np.all(th[:, :4] > 0.0)          # attention calibrated

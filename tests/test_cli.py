@@ -100,3 +100,25 @@ def test_cli_ppl_permute(tiny_ckpt, capsys):
     ])
     out = capsys.readouterr()
     assert "dense ppl" in out.out
+
+
+def test_cli_ppl_group_thresholds_require_group_consumer(tiny_ckpt,
+                                                         tmp_path):
+    """--group-thresholds with the default elementwise mode (and a
+    non-block kernel) must error loudly: group-score thresholds through
+    the |x| > t rule silently over-sparsify."""
+    calib = str(tmp_path / "calib")
+    cli.main([
+        "calibrate", "--model", "tiny", "--checkpoint", tiny_ckpt,
+        "--output-path", calib, "--batch", "1", "--seq-len", "64",
+        "--no-layer-inputs", "--group-sizes", "16,32",
+    ])
+    hist = os.path.join(calib, "histograms")
+    with pytest.raises(SystemExit):
+        cli.main([
+            "ppl", "--model", "tiny", "--checkpoint", tiny_ckpt,
+            "--num-tokens", "256", "--context-size", "64",
+            "--window-size", "32", "--sparsity", "0.5",
+            "--hist-path", hist, "--block-size", "16",
+            "--group-thresholds",   # no --mode group / --kernel block
+        ])

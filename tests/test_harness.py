@@ -126,3 +126,24 @@ def test_lm_eval_shim_generate_until(sm):
     results = simple_evaluate(lm, [task])
     assert "toy_gen" in results
     assert 0.0 <= results["toy_gen"]["exact_match"] <= 1.0
+
+
+def test_loglikelihood_truncates_context_not_continuation(sm):
+    """context+continuation > max_seq: the context truncates from the
+    left (lm_eval convention) and indexing stays consistent — no crash,
+    and the result equals scoring the pre-truncated sequence."""
+    cfg, params, model = sm
+    rng = np.random.default_rng(0)
+    ctx = rng.integers(1, cfg.vocab_size, size=70).tolist()   # > max_seq 64
+    cont = rng.integers(1, cfg.vocab_size, size=4).tolist()
+    total, is_greedy = model.loglikelihood(ctx, cont)
+    assert np.isfinite(total) and isinstance(is_greedy, bool)
+    # equivalent manual pre-truncation
+    keep = model.max_seq - len(cont)
+    total2, g2 = model.loglikelihood(ctx[-keep:], cont)
+    assert total == pytest.approx(total2, rel=1e-5)
+    assert is_greedy == g2
+    # a continuation that cannot fit raises instead of mis-scoring
+    with pytest.raises(ValueError):
+        model.loglikelihood(ctx[:2], rng.integers(
+            1, cfg.vocab_size, size=model.max_seq + 1).tolist())

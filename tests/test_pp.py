@@ -85,3 +85,24 @@ def test_pp_rejects_indivisible_layers(tiny):
     mesh = make_pp_mesh(3, devices=jax.devices()[:3])
     with pytest.raises(ValueError, match="not divisible"):
         pp_shard_params(params, mesh, cfg)
+
+
+def test_pp_quantized_lm_head(tiny):
+    """Quantized checkpoints (dict lm_head) shard and run through pp:
+    spec trees mirror the param subtree and the last stage uses the
+    format-aware lm head."""
+    from teal_tpu.ops.quant import quantize_int8
+
+    cfg, params = tiny
+    q = quantize_int8(params["lm_head"])
+    qparams = dict(params, lm_head={"q": q.q, "scale": q.scale})
+    mesh = make_pp_mesh(2)
+    sharded = pp_shard_params(qparams, mesh, cfg)
+    tokens = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 8]], jnp.int32)
+    cache = KVCache.init(cfg, 2, 16, jnp.float32)
+    ref, _ = _ref(cfg, qparams, tokens, cache)
+    got, _ = pp_forward(sharded, tokens, pp_shard_cache(cache, mesh), 0,
+                        llama.zero_thresholds(cfg), cfg=cfg,
+                        sp=SparsityConfig(), mesh=mesh, n_micro=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
