@@ -1040,3 +1040,35 @@ def test_token_kernel_int8_batched_equivalence():
                                rtol=5e-2, atol=5e-2)
     np.testing.assert_allclose(np.asarray(cg.k), np.asarray(cr.k),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_token_kernel_int4_batched_equivalence():
+    """Packed-int4 + batched (B <= 8) whole-token kernel: the factored
+    affine dequant runs per batch row through the shared gather — == the
+    batched per-kernel int4 path."""
+    from teal_tpu.config import get_model_config
+    from teal_tpu.models import llama
+    from teal_tpu.models.llama import KVCache
+    from teal_tpu.ops import quant
+
+    cfg = get_model_config("tiny", n_layers=2, n_heads=2, n_kv_heads=2,
+                           dim=256, intermediate_size=384, vocab_size=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(11), jnp.float32)
+    q4p = quant.pack_int4_params(
+        quant.quantize_params_int4(params, group=128), block_size=128)
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                        block_keep_frac=0.75, block_thresholding=True,
+                        fused_decode_attention=True)
+    th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
+    B = 3
+    pos = jnp.asarray([2, 9, 14], jnp.int32)
+    cache = KVCache.init(cfg, B, 16, jnp.bfloat16)
+    tok = jnp.asarray([[3], [7], [11]], jnp.int32)
+    got, cg = llama.forward(q4p, tok, cache, pos, th, cfg=cfg, sp=sp)
+    ref, cr = llama.forward(q4p, tok, cache, pos, th, cfg=cfg,
+                            sp=sp.replace(token_fused=False,
+                                          fused_decode_attention=False))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(cg.k), np.asarray(cr.k),
+                               rtol=2e-2, atol=2e-2)
