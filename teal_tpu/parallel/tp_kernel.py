@@ -1,0 +1,200 @@
+"""Tensor-parallel decode through the Pallas block kernels (shard_map).
+
+The GSPMD TP path (`parallel/tp.py`) shards the XLA program; Pallas
+calls cannot be auto-partitioned by GSPMD, so under plain NamedSharding
+TP the block gather kernels never engage and sharded decode runs the
+XLA fallback ops. This module runs the SAME per-stage kernels on each
+shard's local weights inside one `shard_map` — multi-chip decode at the
+single-chip kernels' speed:
+
+  - colwise shards (q/k/v, gate/up): the residual stream is replicated,
+    ONE shared group selection per stage (the selection is deterministic
+    in its inputs, so every shard derives the identical kept set with no
+    communication), each shard gathers its local `[G, N/tp]` slabs;
+  - rowwise shards (o, down): each shard selects over its LOCAL input
+    groups with the layer's threshold (TEAL TP semantics: the magnitude
+    criterion is group-local, so per-shard application equals sharding
+    the globally-sparsified tensor — the reference relies on the same
+    property, `tp_run.sh`) and contributes a partial `[1, D]` output;
+    one `psum` per stage rides ICI;
+  - attention runs on the shard's local heads over the head-sharded
+    stacked cache via the fused decode-attention kernel (in-place
+    current-token write).
+
+Two collectives per layer (after o and down) plus one logits
+all-gather — exactly the reference's NCCL schedule
+(`gpt-fast/tp.py:120-140`). Group sizes adapt per shard: the rowwise
+inputs' local dims (D/tp, I/tp) pick the largest power-of-two divisor
+<= the configured block size (`block_gemv.effective_block_size`), so
+any tp degree that divides the head count works.
+
+Prefill stays on the GSPMD path (`parallel/tp.py`) — it is MXU-bound
+and XLA's partitioner handles it well; this module covers the
+bandwidth-bound decode step where the gather kernels matter.
+
+CPU-validation caveat: under `force_tpu_interpret_mode` on the virtual
+device mesh, dispatching a second shard_map step while the previous
+step's interpret-mode io_callbacks are still in flight can deadlock
+JAX's callback machinery — `jax.device_get` (or any non-shard_map
+computation) between steps drains it. Real-TPU lowering has no
+callbacks and is unaffected.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from teal_tpu.config import ModelConfig, SparsityConfig
+from teal_tpu.models import llama
+from teal_tpu.models.llama import KVCache
+from teal_tpu.ops import block_gemv
+from teal_tpu.ops.decode_attention import decode_attention
+from teal_tpu.parallel.tp import param_specs
+
+
+def make_tp_mesh(tp: int | None = None, devices=None) -> Mesh:
+    import numpy as np
+
+    devices = devices if devices is not None else jax.devices()
+    tp = tp or len(devices)
+    return Mesh(np.asarray(devices[:tp]).reshape(tp), axis_names=("tp",))
+
+
+def cache_specs():
+    """KV cache [L, B, Hkv, T, Dh], heads over tp (1-D tp mesh)."""
+    return KVCache(k=P(None, None, "tp"), v=P(None, None, "tp"))
+
+
+def shard_params(params, mesh: Mesh, cfg: ModelConfig):
+    """Place params with the TP specs of `parallel/tp.py` on a 1-D tp
+    mesh (same colwise/rowwise layout; the kernels consume the local
+    shards directly inside `tp_kernel_decode`)."""
+    tp = mesh.shape["tp"]
+    for field, count in (("n_heads", cfg.n_heads),
+                         ("n_kv_heads", cfg.n_kv_heads),
+                         ("intermediate_size", cfg.intermediate_size)):
+        if count % tp:
+            raise ValueError(f"{field}={count} not divisible by tp={tp}")
+    specs = param_specs(cfg)
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        params, specs,
+        is_leaf=lambda s: isinstance(s, P),
+    )
+
+
+def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
+    s = cache_specs()
+    return KVCache(
+        k=jax.device_put(cache.k, NamedSharding(mesh, s.k)),
+        v=jax.device_put(cache.v, NamedSharding(mesh, s.v)),
+    )
+
+
+def tp_prefill(params, tokens, cache: KVCache, thresholds, *,
+               cfg: ModelConfig, sp: SparsityConfig, mesh: Mesh):
+    """Prompt prefill on the same 1-D tp mesh, via GSPMD (prefill is
+    MXU-bound; XLA's partitioner shards the matmuls and places the
+    all-reduces — the gather kernels only pay off in the
+    bandwidth-bound decode step). Writes the head-sharded stacked cache
+    that `tp_kernel_decode` continues on. tokens: [1, S]."""
+    prefill_sp = sp.replace(kernel="masked_dense", token_fused=False,
+                            fused_attn_block=False, packed_pipeline=False,
+                            fused_decode_attention=False)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(params, tokens, cache, thresholds):
+        return llama.forward(params, tokens, cache, 0, thresholds,
+                             cfg=cfg, sp=prefill_sp, causal_prefill=True)
+
+    with jax.set_mesh(mesh):
+        return run(params, tokens, cache, thresholds)
+
+
+def tp_kernel_decode(params, tokens, cache: KVCache, pos, thresholds, *,
+                     cfg: ModelConfig, sp: SparsityConfig, mesh: Mesh):
+    """One TP decode step (batch 1, single token) through the block
+    kernels. tokens: [1, 1] int32; cache: head-sharded stacked KVCache;
+    pos: scalar int32; thresholds: [L, 7]. Returns (logits [1, 1, V]
+    fp32, replicated; updated cache). Jit-compatible (static cfg/sp/
+    mesh).
+    """
+    assert sp.enabled and sp.kernel == "block", "block kernel path only"
+    assert cfg.n_experts == 0, "MoE TP decode: use parallel/tp.py"
+    if isinstance(params["lm_head"], dict):
+        raise NotImplementedError("quantized lm_head under tp_kernel")
+    tp = mesh.shape["tp"]
+    hq_l, hkv_l = cfg.n_heads // tp, cfg.n_kv_heads // tp
+    kf = sp.block_keep_fracs or (sp.block_keep_frac,) * 7
+    bs = sp.block_size
+    Dh = cfg.head_dim
+
+    def bt(th_l, j):
+        return th_l[j] if sp.block_thresholding else None
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(param_specs(cfg), P(), cache_specs(), P(), P()),
+        out_specs=(P(), cache_specs()),
+        check_vma=False,
+    )
+    def run(prm, tokens, cache, pos, th):
+        layers = prm["layers"]
+        kc, vc = cache.k, cache.v
+        dtype = llama.compute_dtype(prm)
+        h = prm["embed"][tokens].astype(dtype)          # [1, 1, D]
+        pos_b = jnp.broadcast_to(
+            jnp.atleast_1d(jnp.asarray(pos, jnp.int32)), (1,))
+        cos_full, sin_full = llama.precompute_rope(cfg, kc.shape[3])
+        cos = cos_full[pos_b][:, None]                   # [1, 1, Dh]
+        sin = sin_full[pos_b][:, None]
+
+        def body(carry, xs):
+            h, kc, vc = carry
+            i, th_l = xs
+            x = llama.rms_norm(
+                h, layers["attn_norm"][i], cfg.norm_eps).reshape(1, -1)
+            q, k, v = block_gemv.project_many(
+                x, [layers["wq"], layers["wk"], layers["wv"]], bs, kf[0],
+                layer=i, threshold=bt(th_l, 0))
+            q = llama.apply_rope(q.reshape(1, hq_l, 1, Dh)
+                                 .astype(jnp.float32), cos, sin)
+            k = llama.apply_rope(k.reshape(1, hkv_l, 1, Dh)
+                                 .astype(jnp.float32), cos, sin)
+            v = v.reshape(1, hkv_l, 1, Dh)
+            attn, kc, vc = decode_attention(
+                q.astype(kc.dtype), k.astype(kc.dtype), v.astype(vc.dtype),
+                kc, vc, i, pos_b, window=cfg.sliding_window)
+            (o_part,) = block_gemv.project_many(
+                attn.reshape(1, hq_l * Dh).astype(dtype), [layers["wo"]],
+                bs, kf[3], layer=i, threshold=bt(th_l, 3))
+            h = h + jax.lax.psum(o_part, "tp").reshape(h.shape)
+
+            x2 = llama.rms_norm(
+                h, layers["mlp_norm"][i], cfg.norm_eps).reshape(1, -1)
+            g, u = block_gemv.project_many(
+                x2, [layers["wgate"], layers["wup"]], bs, kf[4],
+                layer=i, threshold=bt(th_l, 4))
+            gf = g.astype(jnp.float32)
+            inter = (gf * (1.0 / (1.0 + jnp.exp(-gf)))
+                     * u.astype(jnp.float32)).astype(dtype)
+            (d_part,) = block_gemv.project_many(
+                inter, [layers["wdown"]], bs, kf[6],
+                layer=i, threshold=bt(th_l, 6))
+            h = h + jax.lax.psum(d_part, "tp").reshape(h.shape)
+            return (h, kc, vc), None
+
+        (h, kc, vc), _ = jax.lax.scan(
+            body, (h, kc, vc), (jnp.arange(cfg.n_layers), th))
+        h = llama.rms_norm(h, prm["final_norm"], cfg.norm_eps)
+        logits_l = jnp.matmul(h, prm["lm_head"],
+                              preferred_element_type=jnp.float32)
+        logits = jax.lax.all_gather(logits_l, "tp", axis=2, tiled=True)
+        return logits, KVCache(kc, vc)
+
+    return run(params, tokens, cache, pos, thresholds)

@@ -1,0 +1,128 @@
+"""TP decode through the Pallas block kernels (shard_map) vs the
+single-device block path, on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from teal_tpu.config import SparsityConfig, get_model_config
+from teal_tpu.models import llama
+from teal_tpu.models.llama import KVCache
+from teal_tpu.parallel import tp_kernel
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = get_model_config("tiny", n_layers=2, n_heads=8, n_kv_heads=4,
+                           dim=1024, intermediate_size=512, vocab_size=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(7), jnp.float32)
+    return cfg, params
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_tp_kernel_decode_matches_single_device(tiny, tp):
+    """Per-shard kernel decode == the single-device block path.
+    Threshold mode with non-binding capacity: the rowwise stages'
+    per-shard group selection keeps exactly the global kept set (groups
+    never straddle shard boundaries), so logits match to psum-reorder
+    tolerance."""
+    cfg, params = tiny
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                        block_keep_frac=1.0, block_thresholding=True,
+                        token_fused=False, fused_attn_block=False,
+                        packed_pipeline=False)
+    th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
+    mesh = tp_kernel.make_tp_mesh(tp)
+    sharded = tp_kernel.shard_params(params, mesh, cfg)
+    for p in (0, 5):
+        cache = KVCache.init(cfg, 1, 16, jnp.float32)
+        cache = KVCache(
+            k=jax.random.normal(jax.random.PRNGKey(p), cache.k.shape,
+                                jnp.float32) * 0.1,
+            v=jax.random.normal(jax.random.PRNGKey(p + 1), cache.v.shape,
+                                jnp.float32) * 0.1)
+        tok = jnp.asarray([[3 + p]], jnp.int32)
+        with pltpu.force_tpu_interpret_mode():
+            ref, cr = llama.forward(params, tok, cache, p, th,
+                                    cfg=cfg, sp=sp)
+            got, cg = tp_kernel.tp_kernel_decode(
+                sharded, tok, tp_kernel.shard_cache(cache, mesh), p, th,
+                cfg=cfg, sp=sp, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"tp={tp} pos={p}")
+        np.testing.assert_allclose(np.asarray(cg.k), np.asarray(cr.k),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cg.v), np.asarray(cr.v),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_tp_kernel_multi_step_consistency(tiny):
+    """Greedy-decode three steps: TP-kernel and single-device paths
+    produce the same token trajectory (cache threading included)."""
+    cfg, params = tiny
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                        block_keep_frac=1.0, block_thresholding=True,
+                        token_fused=False, fused_attn_block=False,
+                        packed_pipeline=False)
+    th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
+    mesh = tp_kernel.make_tp_mesh(2)
+    sharded = tp_kernel.shard_params(params, mesh, cfg)
+    c_ref = KVCache.init(cfg, 1, 16, jnp.float32)
+    c_tp = tp_kernel.shard_cache(c_ref, mesh)
+    tok_r = tok_t = jnp.asarray([[5]], jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        for p in range(3):
+            lr, c_ref = llama.forward(params, tok_r, c_ref, p, th,
+                                      cfg=cfg, sp=sp)
+            lt, c_tp = tp_kernel.tp_kernel_decode(
+                sharded, tok_t, c_tp, p, th, cfg=cfg, sp=sp, mesh=mesh)
+            tok_r = jnp.argmax(lr[:, -1:], axis=-1).astype(jnp.int32)
+            tok_t = jnp.argmax(lt[:, -1:], axis=-1).astype(jnp.int32)
+            assert int(tok_r[0, 0]) == int(tok_t[0, 0]), f"step {p}"
+
+
+def test_tp_prefill_then_kernel_decode(tiny):
+    """The full TP serving flow: GSPMD prompt prefill writes the
+    head-sharded cache, tp_kernel_decode continues decoding on it —
+    token trajectory matches the single-device flow."""
+    cfg, params = tiny
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                        block_keep_frac=1.0, block_thresholding=True,
+                        token_fused=False, fused_attn_block=False,
+                        packed_pipeline=False)
+    th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
+    mesh = tp_kernel.make_tp_mesh(2)
+    sharded = tp_kernel.shard_params(params, mesh, cfg)
+    prompt = jnp.asarray([[3, 17, 42, 9]], jnp.int32)
+    S = prompt.shape[1]
+
+    # single-device reference: dense prefill + block decode
+    c_ref = KVCache.init(cfg, 1, 16, jnp.float32)
+    lr, c_ref = llama.forward(params, prompt, c_ref, 0, th, cfg=cfg,
+                              sp=sp.replace(kernel="masked_dense"),
+                              causal_prefill=True)
+    tok_r = jnp.argmax(lr[:, -1:], axis=-1).astype(jnp.int32)
+
+    c_tp = tp_kernel.shard_cache(KVCache.init(cfg, 1, 16, jnp.float32),
+                                 mesh)
+    lt, c_tp = tp_kernel.tp_prefill(sharded, prompt, c_tp, th,
+                                    cfg=cfg, sp=sp, mesh=mesh)
+    tok_t = jnp.argmax(lt[:, -1:], axis=-1).astype(jnp.int32)
+    assert int(tok_r[0, 0]) == int(tok_t[0, 0])
+
+    with pltpu.force_tpu_interpret_mode():
+        for p in range(S, S + 3):
+            lr, c_ref = llama.forward(params, tok_r, c_ref, p, th,
+                                      cfg=cfg, sp=sp)
+            lt, c_tp = tp_kernel.tp_kernel_decode(
+                sharded, tok_t, c_tp, p, th, cfg=cfg, sp=sp, mesh=mesh)
+            tok_r = jnp.argmax(lr[:, -1:], axis=-1).astype(jnp.int32)
+            tok_t = jnp.argmax(lt[:, -1:], axis=-1).astype(jnp.int32)
+            assert int(tok_r[0, 0]) == int(tok_t[0, 0]), f"step {p}"
