@@ -404,7 +404,10 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
             else:
                 attn = _attention(q, kc, vc, pos, s, kc.shape[2],
                                   cfg.sliding_window)
-    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1)      # attn h2
+    # attn h2 — cast back to the stream dtype (a cache dtype wider than
+    # the compute dtype, e.g. fp32 cache + int8/bf16 weights, would
+    # otherwise promote the residual stream and break the scan carry)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1).astype(h.dtype)
     if use_block:
         (o_out,) = blockproj(attn, ["wo"], kf[3], bt("o"))
         h = h + o_out

@@ -24,11 +24,36 @@ from teal_tpu.config import ModelConfig
 from teal_tpu.models.llama import KVCache
 
 
-def param_specs(cfg: ModelConfig):
+def _leaf_specs(leaf, wspec: P):
+    """Specs for one projection entry: plain arrays take `wspec`
+    directly; quantized dicts get a matching spec per field (the
+    reference TP-shards its quantized Linears too — the published
+    TP+int8/int4 70B rows, `gpt-fast/README.md:121-122`).
+
+    wspec's last two entries cover the (K, N) dims. int8 scale is
+    per-out-channel [..., N] -> wspec minus the K entry; int4 group
+    params are [..., nb(, 1|2), N] -> the group dim shards like K.
+    """
+    if not isinstance(leaf, dict):
+        return wspec
+    dims = tuple(wspec)
+    gspec = P(*dims[:-2], dims[-2], None, dims[-1])
+    if "qp" in leaf:                 # packed int4 {"qp", "sz"}
+        return {"qp": wspec, "sz": gspec}
+    if "zero" in leaf:               # unpacked int4 {"q","scale","zero"}
+        return {"q": wspec, "scale": gspec, "zero": gspec}
+    return {"q": wspec, "scale": P(*dims[:-2], dims[-1])}   # int8
+
+
+def param_specs(cfg: ModelConfig, params=None):
     """PartitionSpec pytree matching the stacked params layout.
 
     colwise (output-dim) shards: wq wk wv wgate wup lm_head;
     rowwise (input-dim) shards: wo wdown (their matmuls end in a psum).
+
+    Pass `params` to expand quantized {"q","scale"} / {"qp","sz"} dict
+    leaves into matching per-field specs (without it, dict params would
+    mismatch the spec tree).
 
     MoE (cfg.n_experts > 0): expert FFN stacks are [L, E, D, I] /
     [L, E, I, D]; each expert is sharded colwise/rowwise over its
@@ -59,12 +84,20 @@ def param_specs(cfg: ModelConfig):
             "wup": P(None, None, "tp"),
             "wdown": P(None, "tp", None),
         })
-    return {
+    specs = {
         "embed": P(),
         "layers": layers,
         "final_norm": P(),
         "lm_head": P(None, "tp"),
     }
+    if params is not None:
+        specs["layers"] = {
+            k: _leaf_specs(params["layers"][k], s)
+            for k, s in layers.items()
+        }
+        specs["lm_head"] = _leaf_specs(params["lm_head"],
+                                       specs["lm_head"])
+    return specs
 
 
 def cache_specs():
@@ -93,7 +126,7 @@ def shard_params(params, mesh: Mesh, cfg: ModelConfig):
                          ("intermediate_size", cfg.intermediate_size)):
         if count % tp:
             raise ValueError(f"{field}={count} not divisible by tp={tp}")
-    shardings = _named(mesh, param_specs(cfg))
+    shardings = _named(mesh, param_specs(cfg, params))
     return jax.tree.map(jax.device_put, params, shardings)
 
 

@@ -80,7 +80,7 @@ def shard_params(params, mesh: Mesh, cfg: ModelConfig):
                          ("intermediate_size", cfg.intermediate_size)):
         if count % tp:
             raise ValueError(f"{field}={count} not divisible by tp={tp}")
-    specs = param_specs(cfg)
+    specs = param_specs(cfg, params)
     return jax.tree.map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
         params, specs,
@@ -126,8 +126,11 @@ def tp_kernel_decode(params, tokens, cache: KVCache, pos, thresholds, *,
     """
     assert sp.enabled and sp.kernel == "block", "block kernel path only"
     assert cfg.n_experts == 0, "MoE TP decode: use parallel/tp.py"
-    if isinstance(params["lm_head"], dict):
-        raise NotImplementedError("quantized lm_head under tp_kernel")
+    wq = params["layers"]["wq"]
+    if isinstance(wq, dict) and "zero" in wq:
+        raise NotImplementedError(
+            "unpacked int4 decodes through XLA dequant — repack with "
+            "quant.pack_int4_params for the kernel TP path")
     tp = mesh.shape["tp"]
     hq_l, hkv_l = cfg.n_heads // tp, cfg.n_kv_heads // tp
     kf = sp.block_keep_fracs or (sp.block_keep_frac,) * 7
@@ -139,12 +142,21 @@ def tp_kernel_decode(params, tokens, cache: KVCache, pos, thresholds, *,
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(param_specs(cfg), P(), cache_specs(), P(), P()),
+        in_specs=(param_specs(cfg, params), P(), cache_specs(), P(), P()),
         out_specs=(P(), cache_specs()),
         check_vma=False,
     )
     def run(prm, tokens, cache, pos, th):
         layers = prm["layers"]
+
+        def wsel(name, i):
+            """Kernel operand for layer i: stacked array / packed-int4
+            dict straight through (the kernel indexes the layer); int8
+            scale sliced per layer (applied post-matmul in XLA)."""
+            w = layers[name]
+            if isinstance(w, dict) and "qp" not in w:
+                return {"q": w["q"], "scale": w["scale"][i]}
+            return w
         kc, vc = cache.k, cache.v
         dtype = llama.compute_dtype(prm)
         h = prm["embed"][tokens].astype(dtype)          # [1, 1, D]
@@ -160,8 +172,8 @@ def tp_kernel_decode(params, tokens, cache: KVCache, pos, thresholds, *,
             x = llama.rms_norm(
                 h, layers["attn_norm"][i], cfg.norm_eps).reshape(1, -1)
             q, k, v = block_gemv.project_many(
-                x, [layers["wq"], layers["wk"], layers["wv"]], bs, kf[0],
-                layer=i, threshold=bt(th_l, 0))
+                x, [wsel("wq", i), wsel("wk", i), wsel("wv", i)], bs,
+                kf[0], layer=i, threshold=bt(th_l, 0))
             q = llama.apply_rope(q.reshape(1, hq_l, 1, Dh)
                                  .astype(jnp.float32), cos, sin)
             k = llama.apply_rope(k.reshape(1, hkv_l, 1, Dh)
@@ -171,20 +183,21 @@ def tp_kernel_decode(params, tokens, cache: KVCache, pos, thresholds, *,
                 q.astype(kc.dtype), k.astype(kc.dtype), v.astype(vc.dtype),
                 kc, vc, i, pos_b, window=cfg.sliding_window)
             (o_part,) = block_gemv.project_many(
-                attn.reshape(1, hq_l * Dh).astype(dtype), [layers["wo"]],
-                bs, kf[3], layer=i, threshold=bt(th_l, 3))
+                attn.reshape(1, hq_l * Dh).astype(dtype),
+                [wsel("wo", i)], bs, kf[3], layer=i,
+                threshold=bt(th_l, 3))
             h = h + jax.lax.psum(o_part, "tp").reshape(h.shape)
 
             x2 = llama.rms_norm(
                 h, layers["mlp_norm"][i], cfg.norm_eps).reshape(1, -1)
             g, u = block_gemv.project_many(
-                x2, [layers["wgate"], layers["wup"]], bs, kf[4],
+                x2, [wsel("wgate", i), wsel("wup", i)], bs, kf[4],
                 layer=i, threshold=bt(th_l, 4))
             gf = g.astype(jnp.float32)
             inter = (gf * (1.0 / (1.0 + jnp.exp(-gf)))
                      * u.astype(jnp.float32)).astype(dtype)
             (d_part,) = block_gemv.project_many(
-                inter, [layers["wdown"]], bs, kf[6],
+                inter, [wsel("wdown", i)], bs, kf[6],
                 layer=i, threshold=bt(th_l, 6))
             h = h + jax.lax.psum(d_part, "tp").reshape(h.shape)
             return (h, kc, vc), None
@@ -192,8 +205,7 @@ def tp_kernel_decode(params, tokens, cache: KVCache, pos, thresholds, *,
         (h, kc, vc), _ = jax.lax.scan(
             body, (h, kc, vc), (jnp.arange(cfg.n_layers), th))
         h = llama.rms_norm(h, prm["final_norm"], cfg.norm_eps)
-        logits_l = jnp.matmul(h, prm["lm_head"],
-                              preferred_element_type=jnp.float32)
+        logits_l = llama._lm_head(prm, h)   # bf16 / int8 / int4 heads
         logits = jax.lax.all_gather(logits_l, "tp", axis=2, tiled=True)
         return logits, KVCache(kc, vc)
 

@@ -126,3 +126,99 @@ def test_tp_prefill_then_kernel_decode(tiny):
             tok_r = jnp.argmax(lr[:, -1:], axis=-1).astype(jnp.int32)
             tok_t = jnp.argmax(lt[:, -1:], axis=-1).astype(jnp.int32)
             assert int(tok_r[0, 0]) == int(tok_t[0, 0]), f"step {p}"
+
+
+def _int8_params(params):
+    from teal_tpu.ops.quant import quantize_int8
+
+    def q8(stack):
+        wf = stack.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(wf), axis=1)
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        q = jnp.clip(jnp.round(wf / scale[:, None, :]),
+                     -128, 127).astype(jnp.int8)
+        return {"q": q, "scale": scale}
+
+    layers = {k: (q8(v) if k.startswith("w") else v)
+              for k, v in params["layers"].items()}
+    head = quantize_int8(params["lm_head"])
+    return dict(params, layers=layers,
+                lm_head={"q": head.q, "scale": head.scale})
+
+
+def test_tp_kernel_decode_int8(tiny):
+    """int8 weight-only under the kernel TP path (the reference ships
+    TP+int8 rows, gpt-fast/README.md:121): quantized dict leaves shard
+    with matching per-field specs, per-layer scales apply post-psum
+    consistently with the single-device int8 block path."""
+    cfg, params = tiny
+    qparams = _int8_params(params)
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                        block_keep_frac=1.0, block_thresholding=True,
+                        token_fused=False, fused_attn_block=False,
+                        packed_pipeline=False)
+    th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
+    mesh = tp_kernel.make_tp_mesh(2)
+    sharded = tp_kernel.shard_params(qparams, mesh, cfg)
+    cache = KVCache.init(cfg, 1, 16, jnp.bfloat16)
+    tok = jnp.asarray([[7]], jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        ref, _ = llama.forward(qparams, tok, cache, 3, th, cfg=cfg, sp=sp)
+        got, _ = tp_kernel.tp_kernel_decode(
+            sharded, tok, tp_kernel.shard_cache(cache, mesh), 3, th,
+            cfg=cfg, sp=sp, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_tp_gspmd_forward_int8(tiny):
+    """GSPMD TP (parallel/tp.py) with a quantized checkpoint: the
+    params-aware specs shard dict leaves; sharded forward == single
+    device."""
+    from teal_tpu.parallel import tp
+
+    cfg, params = tiny
+    qparams = _int8_params(params)
+    from teal_tpu.parallel import make_mesh
+
+    mesh = make_mesh(tp=2, dp=1, devices=jax.devices()[:2])
+    sharded = tp.shard_params(qparams, mesh, cfg)
+    cache = KVCache.init(cfg, 1, 16, jnp.float32)
+    tok = jnp.asarray([[3, 9, 27]], jnp.int32)
+    th = llama.zero_thresholds(cfg)
+    sp = SparsityConfig()
+    ref, _ = llama.forward(qparams, tok, cache, 0, th, cfg=cfg, sp=sp)
+    with jax.set_mesh(mesh):
+        got, _ = jax.jit(
+            lambda p, c: llama.forward(p, tok, c, 0, th, cfg=cfg, sp=sp)
+        )(sharded, tp.shard_cache(cache, mesh))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_tp_kernel_decode_int4(tiny):
+    """Packed-int4 under the kernel TP path (reference ships TP+int4
+    rows, gpt-fast/README.md:122): qp/sz shards slice along the same
+    dims as the weights; in-kernel dequant per shard."""
+    from teal_tpu.ops import quant
+
+    cfg, params = tiny
+    q4p = dict(params, layers=quant.pack_int4_params(
+        quant.quantize_params_int4(dict(params), group=128),
+        block_size=128)["layers"])
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                        block_keep_frac=1.0, block_thresholding=True,
+                        token_fused=False, fused_attn_block=False,
+                        packed_pipeline=False)
+    th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
+    mesh = tp_kernel.make_tp_mesh(2)
+    sharded = tp_kernel.shard_params(q4p, mesh, cfg)
+    cache = KVCache.init(cfg, 1, 16, jnp.bfloat16)
+    tok = jnp.asarray([[7]], jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        ref, _ = llama.forward(q4p, tok, cache, 3, th, cfg=cfg, sp=sp)
+        got, _ = tp_kernel.tp_kernel_decode(
+            sharded, tok, tp_kernel.shard_cache(cache, mesh), 3, th,
+            cfg=cfg, sp=sp, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
