@@ -118,11 +118,14 @@ def tp_prefill(params, tokens, cache: KVCache, thresholds, *,
 
 def tp_kernel_decode(params, tokens, cache: KVCache, pos, thresholds, *,
                      cfg: ModelConfig, sp: SparsityConfig, mesh: Mesh):
-    """One TP decode step (batch 1, single token) through the block
-    kernels. tokens: [1, 1] int32; cache: head-sharded stacked KVCache;
-    pos: scalar int32; thresholds: [L, 7]. Returns (logits [1, 1, V]
-    fp32, replicated; updated cache). Jit-compatible (static cfg/sp/
-    mesh).
+    """One TP decode step (single token, batch <= 8) through the block
+    kernels. tokens: [B, 1] int32; cache: head-sharded stacked KVCache
+    (B on dim 1); pos: scalar or [B] int32 (continuous batching: each
+    slot at its own depth); thresholds: [L, 7]. Batch > 1 rides the MXU
+    lhs rows with one batch-pooled shared selection per stage (the
+    single-device batched semantics, `block_gemv.project_many_batched`).
+    Returns (logits [B, 1, V] fp32, replicated; updated cache).
+    Jit-compatible (static cfg/sp/mesh).
     """
     assert sp.enabled and sp.kernel == "block", "block kernel path only"
     assert cfg.n_experts == 0, "MoE TP decode: use parallel/tp.py"
@@ -139,6 +142,17 @@ def tp_kernel_decode(params, tokens, cache: KVCache, pos, thresholds, *,
 
     def bt(th_l, j):
         return th_l[j] if sp.block_thresholding else None
+
+    B = tokens.shape[0]
+    assert B <= 8, "block kernels batch <= 8"
+
+    def proj(x2d, ws, frac, i, thr):
+        """[B, K] -> list of [B, N_local] through the gather kernels."""
+        if B == 1:
+            return block_gemv.project_many(x2d, ws, bs, frac, layer=i,
+                                           threshold=thr)
+        return block_gemv.project_many_batched(x2d, ws, bs, frac,
+                                               layer=i, threshold=thr)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -159,46 +173,45 @@ def tp_kernel_decode(params, tokens, cache: KVCache, pos, thresholds, *,
             return w
         kc, vc = cache.k, cache.v
         dtype = llama.compute_dtype(prm)
-        h = prm["embed"][tokens].astype(dtype)          # [1, 1, D]
+        h = prm["embed"][tokens].astype(dtype)          # [B, 1, D]
         pos_b = jnp.broadcast_to(
-            jnp.atleast_1d(jnp.asarray(pos, jnp.int32)), (1,))
+            jnp.atleast_1d(jnp.asarray(pos, jnp.int32)), (B,))
         cos_full, sin_full = llama.precompute_rope(cfg, kc.shape[3])
-        cos = cos_full[pos_b][:, None]                   # [1, 1, Dh]
+        cos = cos_full[pos_b][:, None]                   # [B, 1, Dh]
         sin = sin_full[pos_b][:, None]
 
         def body(carry, xs):
             h, kc, vc = carry
             i, th_l = xs
             x = llama.rms_norm(
-                h, layers["attn_norm"][i], cfg.norm_eps).reshape(1, -1)
-            q, k, v = block_gemv.project_many(
-                x, [wsel("wq", i), wsel("wk", i), wsel("wv", i)], bs,
-                kf[0], layer=i, threshold=bt(th_l, 0))
-            q = llama.apply_rope(q.reshape(1, hq_l, 1, Dh)
+                h, layers["attn_norm"][i], cfg.norm_eps).reshape(B, -1)
+            q, k, v = proj(
+                x, [wsel("wq", i), wsel("wk", i), wsel("wv", i)],
+                kf[0], i, bt(th_l, 0))
+            q = llama.apply_rope(q.reshape(B, 1, hq_l, Dh)
+                                 .transpose(0, 2, 1, 3)
                                  .astype(jnp.float32), cos, sin)
-            k = llama.apply_rope(k.reshape(1, hkv_l, 1, Dh)
+            k = llama.apply_rope(k.reshape(B, 1, hkv_l, Dh)
+                                 .transpose(0, 2, 1, 3)
                                  .astype(jnp.float32), cos, sin)
-            v = v.reshape(1, hkv_l, 1, Dh)
+            v = v.reshape(B, 1, hkv_l, Dh).transpose(0, 2, 1, 3)
             attn, kc, vc = decode_attention(
                 q.astype(kc.dtype), k.astype(kc.dtype), v.astype(vc.dtype),
                 kc, vc, i, pos_b, window=cfg.sliding_window)
-            (o_part,) = block_gemv.project_many(
-                attn.reshape(1, hq_l * Dh).astype(dtype),
-                [wsel("wo", i)], bs, kf[3], layer=i,
-                threshold=bt(th_l, 3))
+            (o_part,) = proj(
+                attn.transpose(0, 2, 1, 3).reshape(B, hq_l * Dh)
+                .astype(dtype), [wsel("wo", i)], kf[3], i, bt(th_l, 3))
             h = h + jax.lax.psum(o_part, "tp").reshape(h.shape)
 
             x2 = llama.rms_norm(
-                h, layers["mlp_norm"][i], cfg.norm_eps).reshape(1, -1)
-            g, u = block_gemv.project_many(
-                x2, [wsel("wgate", i), wsel("wup", i)], bs, kf[4],
-                layer=i, threshold=bt(th_l, 4))
+                h, layers["mlp_norm"][i], cfg.norm_eps).reshape(B, -1)
+            g, u = proj(x2, [wsel("wgate", i), wsel("wup", i)],
+                        kf[4], i, bt(th_l, 4))
             gf = g.astype(jnp.float32)
             inter = (gf * (1.0 / (1.0 + jnp.exp(-gf)))
                      * u.astype(jnp.float32)).astype(dtype)
-            (d_part,) = block_gemv.project_many(
-                inter, [wsel("wdown", i)], bs, kf[6],
-                layer=i, threshold=bt(th_l, 6))
+            (d_part,) = proj(inter, [wsel("wdown", i)], kf[6], i,
+                             bt(th_l, 6))
             h = h + jax.lax.psum(d_part, "tp").reshape(h.shape)
             return (h, kc, vc), None
 

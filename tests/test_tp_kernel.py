@@ -222,3 +222,37 @@ def test_tp_kernel_decode_int4(tiny):
             cfg=cfg, sp=sp, mesh=mesh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_tp_kernel_decode_batched(tiny):
+    """Batched (B <= 8) TP decode: batch rows ride the MXU lhs through
+    one batch-pooled shared selection per stage on every shard; each
+    sequence decodes at its own depth — == the single-device batched
+    block path."""
+    cfg, params = tiny
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                        block_keep_frac=1.0, block_thresholding=True,
+                        token_fused=False, fused_attn_block=False,
+                        packed_pipeline=False)
+    th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
+    mesh = tp_kernel.make_tp_mesh(2)
+    sharded = tp_kernel.shard_params(params, mesh, cfg)
+    B = 3
+    pos = jnp.asarray([2, 9, 14], jnp.int32)
+    cache = KVCache.init(cfg, B, 16, jnp.float32)
+    cache = KVCache(
+        k=jax.random.normal(jax.random.PRNGKey(51), cache.k.shape,
+                            jnp.float32) * 0.1,
+        v=jax.random.normal(jax.random.PRNGKey(52), cache.v.shape,
+                            jnp.float32) * 0.1)
+    tok = jnp.asarray([[3], [7], [11]], jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        ref, cr = llama.forward(params, tok, cache, pos, th, cfg=cfg,
+                                sp=sp.replace(fused_decode_attention=False))
+        got, cg = tp_kernel.tp_kernel_decode(
+            sharded, tok, tp_kernel.shard_cache(cache, mesh), pos, th,
+            cfg=cfg, sp=sp, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(cg.k), np.asarray(cr.k),
+                               rtol=1e-5, atol=1e-6)
