@@ -57,17 +57,33 @@ from teal_tpu.ops.decode_attention import decode_attention
 from teal_tpu.parallel.tp import param_specs
 
 
-def make_tp_mesh(tp: int | None = None, devices=None) -> Mesh:
+def make_tp_mesh(tp: int | None = None, devices=None,
+                 dp: int = 1) -> Mesh:
+    """1-D tp mesh, or a 2-D dp x tp mesh when dp > 1 (batch over dp,
+    heads over tp — the full decode topology)."""
     import numpy as np
 
     devices = devices if devices is not None else jax.devices()
-    tp = tp or len(devices)
-    return Mesh(np.asarray(devices[:tp]).reshape(tp), axis_names=("tp",))
+    tp = tp or len(devices) // dp
+    n = dp * tp
+    if len(devices) < n:
+        raise ValueError(f"dp*tp={n} > {len(devices)} devices")
+    if dp == 1:
+        return Mesh(np.asarray(devices[:n]).reshape(tp),
+                    axis_names=("tp",))
+    return Mesh(np.asarray(devices[:n]).reshape(dp, tp),
+                axis_names=("dp", "tp"))
 
 
-def cache_specs():
-    """KV cache [L, B, Hkv, T, Dh], heads over tp (1-D tp mesh)."""
-    return KVCache(k=P(None, None, "tp"), v=P(None, None, "tp"))
+def _dp(mesh: Mesh):
+    return "dp" if "dp" in mesh.axis_names else None
+
+
+def cache_specs(mesh: Mesh = None):
+    """KV cache [L, B, Hkv, T, Dh]: heads over tp; batch over dp when
+    the mesh has a dp axis."""
+    d = _dp(mesh) if mesh is not None else None
+    return KVCache(k=P(None, d, "tp"), v=P(None, d, "tp"))
 
 
 def shard_params(params, mesh: Mesh, cfg: ModelConfig):
@@ -89,7 +105,7 @@ def shard_params(params, mesh: Mesh, cfg: ModelConfig):
 
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
-    s = cache_specs()
+    s = cache_specs(mesh)
     return KVCache(
         k=jax.device_put(cache.k, NamedSharding(mesh, s.k)),
         v=jax.device_put(cache.v, NamedSharding(mesh, s.v)),
@@ -143,12 +159,14 @@ def tp_kernel_decode(params, tokens, cache: KVCache, pos, thresholds, *,
     def bt(th_l, j):
         return th_l[j] if sp.block_thresholding else None
 
-    B = tokens.shape[0]
-    assert B <= 8, "block kernels batch <= 8"
+    dp_ax = _dp(mesh)
+    dp = mesh.shape.get("dp", 1)
+    B = tokens.shape[0] // dp          # per-device batch
+    assert B <= 8, "block kernels batch <= 8 per dp shard"
 
     def proj(x2d, ws, frac, i, thr):
         """[B, K] -> list of [B, N_local] through the gather kernels."""
-        if B == 1:
+        if x2d.shape[0] == 1:
             return block_gemv.project_many(x2d, ws, bs, frac, layer=i,
                                            threshold=thr)
         return block_gemv.project_many_batched(x2d, ws, bs, frac,
@@ -156,8 +174,9 @@ def tp_kernel_decode(params, tokens, cache: KVCache, pos, thresholds, *,
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(param_specs(cfg, params), P(), cache_specs(), P(), P()),
-        out_specs=(P(), cache_specs()),
+        in_specs=(param_specs(cfg, params), P(dp_ax), cache_specs(mesh),
+                  P(dp_ax), P()),
+        out_specs=(P(dp_ax), cache_specs(mesh)),
         check_vma=False,
     )
     def run(prm, tokens, cache, pos, th):
@@ -222,4 +241,6 @@ def tp_kernel_decode(params, tokens, cache: KVCache, pos, thresholds, *,
         logits = jax.lax.all_gather(logits_l, "tp", axis=2, tiled=True)
         return logits, KVCache(kc, vc)
 
+    pos = jnp.broadcast_to(
+        jnp.atleast_1d(jnp.asarray(pos, jnp.int32)), (tokens.shape[0],))
     return run(params, tokens, cache, pos, thresholds)

@@ -256,3 +256,42 @@ def test_tp_kernel_decode_batched(tiny):
                                rtol=3e-4, atol=3e-4)
     np.testing.assert_allclose(np.asarray(cg.k), np.asarray(cr.k),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_tp_kernel_decode_dp_tp(tiny):
+    """2-D dp x tp decode: batch rows shard over dp, heads over tp —
+    every dp replica runs its own pooled selection; == the single-device
+    batched block path on the full batch."""
+    cfg, params = tiny
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                        block_keep_frac=1.0, block_thresholding=True,
+                        token_fused=False, fused_attn_block=False,
+                        packed_pipeline=False)
+    th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
+    mesh = tp_kernel.make_tp_mesh(tp=2, dp=2)
+    sharded = tp_kernel.shard_params(params, mesh, cfg)
+    B = 4
+    pos = jnp.asarray([2, 9, 14, 5], jnp.int32)
+    cache = KVCache.init(cfg, B, 16, jnp.float32)
+    cache = KVCache(
+        k=jax.random.normal(jax.random.PRNGKey(61), cache.k.shape,
+                            jnp.float32) * 0.1,
+        v=jax.random.normal(jax.random.PRNGKey(62), cache.v.shape,
+                            jnp.float32) * 0.1)
+    tok = jnp.asarray([[3], [7], [11], [2]], jnp.int32)
+    # reference: per-dp-group batched single-device decode (selection
+    # pools over each dp group's rows, not the global batch)
+    refs = []
+    with pltpu.force_tpu_interpret_mode():
+        for lo in (0, 2):
+            sub = KVCache(k=cache.k[:, lo:lo + 2], v=cache.v[:, lo:lo + 2])
+            r, _ = llama.forward(params, tok[lo:lo + 2], sub,
+                                 pos[lo:lo + 2], th, cfg=cfg,
+                                 sp=sp.replace(fused_decode_attention=False))
+            refs.append(r)
+        got, cg = tp_kernel.tp_kernel_decode(
+            sharded, tok, tp_kernel.shard_cache(cache, mesh), pos, th,
+            cfg=cfg, sp=sp, mesh=mesh)
+    ref = jnp.concatenate(refs, axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
