@@ -37,11 +37,14 @@ def _leaf_specs(leaf, wspec: P):
     if not isinstance(leaf, dict):
         return wspec
     dims = tuple(wspec)
-    gspec = P(*dims[:-2], dims[-2], None, dims[-1])
-    if "qp" in leaf:                 # packed int4 {"qp", "sz"}
-        return {"qp": wspec, "sz": gspec}
-    if "zero" in leaf:               # unpacked int4 {"q","scale","zero"}
-        return {"q": wspec, "scale": gspec, "zero": gspec}
+    if "qp" in leaf:                 # packed int4 {"qp": [..,K/2,N],
+        #                               "sz": [.., nb, 2, N]}
+        return {"qp": wspec, "sz": P(*dims[:-2], dims[-2], None,
+                                     dims[-1])}
+    if "zero" in leaf:               # unpacked int4 {"q","scale","zero"}:
+        #                               scale/zero [.., nb, N] — the
+        #                               group dim shards like K
+        return {"q": wspec, "scale": wspec, "zero": wspec}
     return {"q": wspec, "scale": P(*dims[:-2], dims[-1])}   # int8
 
 
@@ -100,10 +103,11 @@ def param_specs(cfg: ModelConfig, params=None):
     return specs
 
 
-def cache_specs():
-    """KV cache [L, B, Hkv, S, Dh]: batch over dp, heads over tp."""
-    return KVCache(k=P(None, "dp", "tp", None, None),
-                   v=P(None, "dp", "tp", None, None))
+def cache_specs(dp: Optional[str] = "dp"):
+    """KV cache [L, B, Hkv, S, Dh]: batch over dp (None for a 1-D tp
+    mesh), heads over tp."""
+    return KVCache(k=P(None, dp, "tp", None, None),
+                   v=P(None, dp, "tp", None, None))
 
 
 def _named(mesh: Mesh, spec_tree):
@@ -131,7 +135,8 @@ def shard_params(params, mesh: Mesh, cfg: ModelConfig):
 
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
-    shardings = _named(mesh, cache_specs())
+    shardings = _named(mesh, cache_specs(
+        "dp" if "dp" in mesh.axis_names else None))
     return KVCache(
         k=jax.device_put(cache.k, shardings.k),
         v=jax.device_put(cache.v, shardings.v),

@@ -15,8 +15,12 @@ single-chip kernels' speed:
     groups with the layer's threshold (TEAL TP semantics: the magnitude
     criterion is group-local, so per-shard application equals sharding
     the globally-sparsified tensor — the reference relies on the same
-    property, `tp_run.sh`) and contributes a partial `[1, D]` output;
-    one `psum` per stage rides ICI;
+    property, `tp_run.sh`; exact while the static capacity bound does
+    not bind — under overflow the first-cap-by-index cut applies per
+    shard instead of globally, the TP analog of the documented overflow
+    tie-break) and contributes a partial `[1, D]` output; one `psum`
+    per stage rides ICI. Global TOP-K mode is rejected under TP: each
+    shard would top-k its local quota, a different rule;
   - attention runs on the shard's local heads over the head-sharded
     stacked cache via the fused decode-attention kernel (in-place
     current-token write).
@@ -26,7 +30,10 @@ all-gather — exactly the reference's NCCL schedule
 (`gpt-fast/tp.py:120-140`). Group sizes adapt per shard: the rowwise
 inputs' local dims (D/tp, I/tp) pick the largest power-of-two divisor
 <= the configured block size (`block_gemv.effective_block_size`), so
-any tp degree that divides the head count works.
+any tp degree that divides the head count works for bf16/int8 weights.
+Packed int4 additionally needs each rowwise local dim to be a multiple
+of its 128-channel quant group (quant group == gather group), e.g.
+Llama-2-7B's I=11008 supports tp=2 (5504 = 43x128) but not tp=4.
 
 Prefill stays on the GSPMD path (`parallel/tp.py`) — it is MXU-bound
 and XLA's partitioner handles it well; this module covers the
@@ -54,6 +61,7 @@ from teal_tpu.models import llama
 from teal_tpu.models.llama import KVCache
 from teal_tpu.ops import block_gemv
 from teal_tpu.ops.decode_attention import decode_attention
+from teal_tpu.parallel import tp as _tp
 from teal_tpu.parallel.tp import param_specs
 
 
@@ -80,28 +88,16 @@ def _dp(mesh: Mesh):
 
 
 def cache_specs(mesh: Mesh = None):
-    """KV cache [L, B, Hkv, T, Dh]: heads over tp; batch over dp when
-    the mesh has a dp axis."""
-    d = _dp(mesh) if mesh is not None else None
-    return KVCache(k=P(None, d, "tp"), v=P(None, d, "tp"))
+    """KV cache specs for this module's meshes (heads over tp; batch
+    over dp when present) — `tp.cache_specs` with the dp axis optional."""
+    return _tp.cache_specs(_dp(mesh) if mesh is not None else None)
 
 
 def shard_params(params, mesh: Mesh, cfg: ModelConfig):
-    """Place params with the TP specs of `parallel/tp.py` on a 1-D tp
-    mesh (same colwise/rowwise layout; the kernels consume the local
-    shards directly inside `tp_kernel_decode`)."""
-    tp = mesh.shape["tp"]
-    for field, count in (("n_heads", cfg.n_heads),
-                         ("n_kv_heads", cfg.n_kv_heads),
-                         ("intermediate_size", cfg.intermediate_size)):
-        if count % tp:
-            raise ValueError(f"{field}={count} not divisible by tp={tp}")
-    specs = param_specs(cfg, params)
-    return jax.tree.map(
-        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
-        params, specs,
-        is_leaf=lambda s: isinstance(s, P),
-    )
+    """`tp.shard_params` (same colwise/rowwise layout, quantized-dict
+    aware); the kernels consume the local shards directly inside
+    `tp_kernel_decode`."""
+    return _tp.shard_params(params, mesh, cfg)
 
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
@@ -143,21 +139,44 @@ def tp_kernel_decode(params, tokens, cache: KVCache, pos, thresholds, *,
     Returns (logits [B, 1, V] fp32, replicated; updated cache).
     Jit-compatible (static cfg/sp/mesh).
     """
-    assert sp.enabled and sp.kernel == "block", "block kernel path only"
-    assert cfg.n_experts == 0, "MoE TP decode: use parallel/tp.py"
+    moe = cfg.n_experts > 0
     wq = params["layers"]["wq"]
+    if moe:
+        assert tokens.shape[0] == 1, "MoE TP kernel decode: batch 1"
+        assert not isinstance(params["layers"]["wgate"], dict), \
+            "quantized MoE experts: use parallel/tp.py"
+    is_int4_packed = isinstance(wq, dict) and "qp" in wq
     if isinstance(wq, dict) and "zero" in wq:
         raise NotImplementedError(
             "unpacked int4 decodes through XLA dequant — repack with "
             "quant.pack_int4_params for the kernel TP path")
+    thresholding = sp.block_thresholding
+    if not sp.enabled:
+        # packed int4 always decodes through the gather kernel (the XLA
+        # unpack path rematerializes bf16 weights, llama._proj) — dense
+        # = full capacity, where per-shard selection is trivially exact
+        if not is_int4_packed:
+            raise ValueError(
+                "tp_kernel_decode with sparsity off: dense TP decode "
+                "runs on the GSPMD path (parallel/tp.py)")
+        kf = (1.0,) * 7
+        thresholding = False
+    else:
+        assert sp.kernel == "block", "block kernel path only"
+        kf = sp.block_keep_fracs or (sp.block_keep_frac,) * 7
+        if not thresholding and any(f < 1.0 for f in kf):
+            raise NotImplementedError(
+                "top-k mode under TP: each shard would top-k its LOCAL "
+                "groups, diverging from the single-device global top-k "
+                "— use threshold mode (block_thresholding=True), whose "
+                "group-local rule is exact per shard")
     tp = mesh.shape["tp"]
     hq_l, hkv_l = cfg.n_heads // tp, cfg.n_kv_heads // tp
-    kf = sp.block_keep_fracs or (sp.block_keep_frac,) * 7
     bs = sp.block_size
     Dh = cfg.head_dim
 
     def bt(th_l, j):
-        return th_l[j] if sp.block_thresholding else None
+        return th_l[j] if thresholding else None
 
     dp_ax = _dp(mesh)
     dp = mesh.shape.get("dp", 1)
@@ -181,6 +200,13 @@ def tp_kernel_decode(params, tokens, cache: KVCache, pos, thresholds, *,
     )
     def run(prm, tokens, cache, pos, th):
         layers = prm["layers"]
+        if moe:
+            # local expert stacks [L, E, D, I/tp] -> pseudo-layer
+            # [L*E, D, I/tp] for the gather kernels' layer indexing
+            # (row-major reshape: a bitcast, no data movement)
+            wg_flat, wu_flat, wd_flat = (
+                layers[n].reshape((-1,) + layers[n].shape[2:])
+                for n in ("wgate", "wup", "wdown"))
 
         def wsel(name, i):
             """Kernel operand for layer i: stacked array / packed-int4
@@ -204,9 +230,14 @@ def tp_kernel_decode(params, tokens, cache: KVCache, pos, thresholds, *,
             i, th_l = xs
             x = llama.rms_norm(
                 h, layers["attn_norm"][i], cfg.norm_eps).reshape(B, -1)
-            q, k, v = proj(
-                x, [wsel("wq", i), wsel("wk", i), wsel("wv", i)],
-                kf[0], i, bt(th_l, 0))
+            if kf[0] == kf[1] == kf[2]:
+                q, k, v = proj(
+                    x, [wsel("wq", i), wsel("wk", i), wsel("wv", i)],
+                    kf[0], i, bt(th_l, 0))
+            else:   # per-projection greedy profile: separate capacities
+                (q,) = proj(x, [wsel("wq", i)], kf[0], i, bt(th_l, 0))
+                (k,) = proj(x, [wsel("wk", i)], kf[1], i, bt(th_l, 1))
+                (v,) = proj(x, [wsel("wv", i)], kf[2], i, bt(th_l, 2))
             q = llama.apply_rope(q.reshape(B, 1, hq_l, Dh)
                                  .transpose(0, 2, 1, 3)
                                  .astype(jnp.float32), cos, sin)
@@ -224,8 +255,37 @@ def tp_kernel_decode(params, tokens, cache: KVCache, pos, thresholds, *,
 
             x2 = llama.rms_norm(
                 h, layers["mlp_norm"][i], cfg.norm_eps).reshape(B, -1)
-            g, u = proj(x2, [wsel("wgate", i), wsel("wup", i)],
-                        kf[4], i, bt(th_l, 4))
+            if moe:
+                # Mixtral: router replicated -> identical routing on
+                # every shard; each routed expert's gate/up shard
+                # colwise and down rowwise (pseudo-layer i*E+e into the
+                # flattened expert stacks), dense (the reference's MoE
+                # engine is not sparsity-integrated either); ONE psum
+                # combines the weighted expert partials
+                rlog = jnp.matmul(x2, layers["router"][i],
+                                  preferred_element_type=jnp.float32)
+                tv, ti = jax.lax.top_k(rlog, cfg.n_experts_per_tok)
+                wts = jax.nn.softmax(tv, axis=-1)            # [1, K]
+                d_sum = jnp.zeros((1, cfg.dim), jnp.float32)
+                for t in range(cfg.n_experts_per_tok):
+                    le = i * cfg.n_experts + ti[0, t]
+                    (g,) = proj(x2, [wg_flat], 1.0, le, None)
+                    (u,) = proj(x2, [wu_flat], 1.0, le, None)
+                    gf = g.astype(jnp.float32)
+                    inter = (gf * (1.0 / (1.0 + jnp.exp(-gf)))
+                             * u.astype(jnp.float32)).astype(dtype)
+                    (d_e,) = proj(inter, [wd_flat], 1.0, le, None)
+                    d_sum = d_sum + wts[0, t] * d_e.astype(jnp.float32)
+                h = h + jax.lax.psum(d_sum, "tp").astype(h.dtype) \
+                    .reshape(h.shape)
+                return (h, kc, vc), None
+            if kf[4] == kf[5]:
+                g, u = proj(x2, [wsel("wgate", i), wsel("wup", i)],
+                            kf[4], i, bt(th_l, 4))
+            else:
+                (g,) = proj(x2, [wsel("wgate", i)], kf[4], i,
+                            bt(th_l, 4))
+                (u,) = proj(x2, [wsel("wup", i)], kf[5], i, bt(th_l, 5))
             gf = g.astype(jnp.float32)
             inter = (gf * (1.0 / (1.0 + jnp.exp(-gf)))
                      * u.astype(jnp.float32)).astype(dtype)

@@ -295,3 +295,87 @@ def test_tp_kernel_decode_dp_tp(tiny):
     ref = jnp.concatenate(refs, axis=0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_tp_shard_unpacked_int4_and_real_packed_flow(tiny):
+    """The production quantized flows shard: (a) unpacked int4
+    ({"q","scale","zero"}, group dim sharding like K), (b) the packed
+    flow from pack_int4_params whose lm_head stays int8/unpacked."""
+    from teal_tpu.ops import quant
+    from teal_tpu.parallel import tp
+
+    cfg, params = tiny
+    q4 = quant.quantize_params_int4(dict(params), group=128)
+    mesh = tp_kernel.make_tp_mesh(2)
+    s1 = tp.shard_params(q4, mesh, cfg)            # (a) unpacked
+    assert isinstance(s1["layers"]["wq"], dict)
+    q4p = quant.pack_int4_params(q4, block_size=128)
+    s2 = tp_kernel.shard_params(q4p, mesh, cfg)    # (b) packed + head
+    assert "qp" in s2["layers"]["wq"]
+
+
+def test_tp_kernel_rejects_global_topk_and_perproj_fracs(tiny):
+    """Top-k mode under TP would silently change the selection rule
+    (per-shard quota vs global top-k) — rejected loudly; per-projection
+    keep fractions take the separate-capacity branches and match the
+    single-device path."""
+    cfg, params = tiny
+    mesh = tp_kernel.make_tp_mesh(2)
+    sharded = tp_kernel.shard_params(params, mesh, cfg)
+    cache = KVCache.init(cfg, 1, 16, jnp.float32)
+    tok = jnp.asarray([[7]], jnp.int32)
+    th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
+    with pytest.raises(NotImplementedError):
+        tp_kernel.tp_kernel_decode(
+            sharded, tok, tp_kernel.shard_cache(cache, mesh), 3, th,
+            cfg=cfg, sp=SparsityConfig(enabled=True, kernel="block",
+                                       block_size=128,
+                                       block_keep_frac=0.75,
+                                       block_thresholding=False),
+            mesh=mesh)
+    # per-projection fracs (non-binding caps) == single device
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                        block_keep_fracs=(1.0, 0.9, 0.9, 1.0, 1.0, 0.9,
+                                          1.0),
+                        block_thresholding=True, token_fused=False,
+                        fused_attn_block=False, packed_pipeline=False)
+    with pltpu.force_tpu_interpret_mode():
+        ref, _ = llama.forward(params, tok, cache, 3, th, cfg=cfg, sp=sp)
+        got, _ = tp_kernel.tp_kernel_decode(
+            sharded, tok, tp_kernel.shard_cache(cache, mesh), 3, th,
+            cfg=cfg, sp=sp, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_tp_kernel_decode_moe(tiny):
+    """Mixtral under the kernel TP path: replicated router -> identical
+    per-shard routing, expert gate/up colwise + down rowwise via
+    pseudo-layer indices into the flattened expert stacks, one psum for
+    the weighted expert partials — == the single-device MoE block path."""
+    from teal_tpu.config import get_model_config
+
+    cfg = get_model_config("tiny", n_layers=2, n_heads=4, n_kv_heads=2,
+                           dim=512, intermediate_size=512, vocab_size=128,
+                           n_experts=4, n_experts_per_tok=2)
+    params = llama.init_params(cfg, jax.random.PRNGKey(19), jnp.float32)
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                        block_keep_frac=1.0, block_thresholding=True,
+                        token_fused=False, fused_attn_block=False,
+                        packed_pipeline=False)
+    th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
+    mesh = tp_kernel.make_tp_mesh(2)
+    sharded = tp_kernel.shard_params(params, mesh, cfg)
+    cache = KVCache.init(cfg, 1, 16, jnp.float32)
+    tok = jnp.asarray([[7]], jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        ref, cr = llama.forward(
+            params, tok, cache, 3, th, cfg=cfg,
+            sp=sp.replace(fused_decode_attention=False))
+        got, cg = tp_kernel.tp_kernel_decode(
+            sharded, tok, tp_kernel.shard_cache(cache, mesh), 3, th,
+            cfg=cfg, sp=sp, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(cg.k), np.asarray(cr.k),
+                               rtol=1e-5, atol=1e-6)
