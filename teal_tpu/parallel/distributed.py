@@ -6,9 +6,11 @@ host, `jax.distributed.initialize()`, and a global mesh spanning every
 chip; collectives ride ICI within a slice and DCN across slices — all
 placed by XLA from the shardings, with no user-visible backend.
 
-Cannot be exercised single-host beyond construction; the multichip
-execution path itself is covered by the virtual-device dryrun
-(__graft_entry__.dryrun_multichip) and tests/test_tp.py.
+Exercised without TPU hardware by `experiments/multihost_dryrun.py`
+(and tests/test_multihost.py): two real processes x 4 virtual CPU
+devices each, gloo-backed `jax.distributed` handshake, a dp=2 x tp=4
+global mesh, and a GSPMD decode step whose collectives cross the
+process boundary — the DCN-analog of the 70B multi-host recipe.
 """
 
 from __future__ import annotations
