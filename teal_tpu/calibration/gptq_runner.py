@@ -14,12 +14,16 @@ propagation granularity: after layer l's projections are quantized, the
 layer's output is recomputed with the DEQUANTIZED weights, so layer l+1
 calibrates on the activations it will actually see at inference
 (accumulated quantization error included — `gpt-fast/GPTQ.py` runs each
-traced module on the quantized prefix). Within a block, the seven
-projections calibrate on the full-precision block's intermediates (the
-cross-layer error accumulation dominates; intra-block sub-sequencing is
-a further refinement the reference's traced ordering provides).
-`sequential=False` restores the cheaper one-shot variant (one forward
-per layer instead of two; all layers see full-precision activations).
+traced module on the quantized prefix). `intra_block=True` additionally
+sub-sequences WITHIN a block, in the traced dataflow order the
+reference's fx-Interpreter walk provides (`gpt-fast/GPTQ.py:132-345`):
+q/k/v calibrate on the block input, then wo on the attention output
+computed with the QUANTIZED q/k/v, then gate/up on the post-attention
+hidden state (quantized attention included), then wdown on
+silu(gate)*up from the quantized gate/up — five staged forwards per
+layer instead of two. `sequential=False` restores the cheaper one-shot
+variant (one forward per layer; all layers see full-precision
+activations).
 """
 
 from __future__ import annotations
@@ -60,6 +64,7 @@ def gptq_quantize_model(
     group: int = 128,
     percdamp: float = 0.01,
     sequential: bool = True,
+    intra_block: bool = False,
     progress: bool = False,
 ) -> Dict:
     """Returns a params pytree with the seven projections as int4 dicts.
@@ -68,35 +73,54 @@ def gptq_quantize_model(
     weights (reference behavior — downstream layers calibrate on the
     activations inference will produce). False = one-shot (full-precision
     propagation; one forward per layer instead of two).
+
+    intra_block: also sub-sequence WITHIN each block (implies
+    sequential): each projection group calibrates on intermediates
+    recomputed with the already-quantized earlier projections of the
+    same block (qkv -> o -> gate/up -> down, the traced dataflow order).
+    Five forwards per layer instead of two.
     """
     from teal_tpu.ops.quant import Int4Weight, dequantize_int4
 
+    if intra_block and not sequential:
+        raise ValueError("intra_block GPTQ requires sequential=True")
     tokens = jnp.asarray(tokens, jnp.int32)
     dtype = params["layers"]["wq"].dtype
     hidden = params["embed"][tokens].astype(dtype)
 
+    # intra-block stages in dataflow order: each stage's projections
+    # share one calibration capture taken AFTER the previous stage's
+    # quantized weights were installed
+    stages = (
+        (("wq", "wk", "wv"), ("wo",), ("wgate", "wup"), ("wdown",))
+        if intra_block
+        else (tuple(_PROJ_INPUT),)
+    )
+
     per_layer: Dict[str, list] = {k: [] for k in _PROJ_INPUT}
     for l in range(cfg.n_layers):
         lp = jax.tree.map(lambda a: a[l], params["layers"])
-        h_out, caps = _layer_capture(lp, hidden, cfg)
         lq = dict(lp)
-        for name, (module, htype) in _PROJ_INPUT.items():
-            w = np.asarray(lp[name], np.float32)
-            x = np.asarray(caps[module][htype], np.float32).reshape(
-                -1, w.shape[0]
-            )
-            g = _fit_group(w.shape[0], group)
-            wq = gptq_quantize_int4(w, x, group=g, percdamp=percdamp)
-            per_layer[name].append(
-                {"q": np.asarray(wq.q), "scale": np.asarray(wq.scale),
-                 "zero": np.asarray(wq.zero)}
-            )
-            if sequential:
-                lq[name] = dequantize_int4(
-                    Int4Weight(q=wq.q, scale=wq.scale, zero=wq.zero,
-                               group=g),
-                    dtype,
+        for stage in stages:
+            h_out, caps = _layer_capture(lq, hidden, cfg)
+            for name in stage:
+                module, htype = _PROJ_INPUT[name]
+                w = np.asarray(lp[name], np.float32)
+                x = np.asarray(caps[module][htype], np.float32).reshape(
+                    -1, w.shape[0]
                 )
+                g = _fit_group(w.shape[0], group)
+                wq = gptq_quantize_int4(w, x, group=g, percdamp=percdamp)
+                per_layer[name].append(
+                    {"q": np.asarray(wq.q), "scale": np.asarray(wq.scale),
+                     "zero": np.asarray(wq.zero)}
+                )
+                if sequential:
+                    lq[name] = dequantize_int4(
+                        Int4Weight(q=wq.q, scale=wq.scale, zero=wq.zero,
+                                   group=g),
+                        dtype,
+                    )
         if sequential:
             # re-run the layer on the quantized weights so the next
             # layer's Hessian sees the accumulated quantization error

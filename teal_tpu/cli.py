@@ -476,7 +476,8 @@ def cmd_quantize(args):
         tokens = np.asarray(ids)[: (n // seq) * seq].reshape(-1, seq)
         qparams = gptq_quantize_model(
             params, cfg, tokens, group=args.group_size,
-            sequential=not args.one_shot, progress=True,
+            sequential=not args.one_shot, intra_block=args.intra_block,
+            progress=True,
         )
     else:
         raise SystemExit(f"unknown quantize mode {args.mode!r}")
@@ -627,6 +628,11 @@ def main(argv=None):
                         "precision activations instead of the default "
                         "sequential propagation through the quantized "
                         "prefix (faster, slightly less accurate)")
+    q.add_argument("--intra-block", action="store_true",
+                   help="GPTQ: also sub-sequence within each block "
+                        "(qkv -> o -> gate/up -> down calibrate on "
+                        "intermediates from the already-quantized "
+                        "earlier projections; 5 forwards/layer)")
     q.add_argument("--text-file", default=None)
     q.add_argument("--dataset", default=None)
     q.set_defaults(fn=cmd_quantize)

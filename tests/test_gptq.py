@@ -139,3 +139,51 @@ def test_gptq_sequential_propagation_semantics():
                            np.asarray(one["layers"][n]["q"])[1:])
         for n in ("wq", "wk", "wv", "wo", "wgate", "wup", "wdown")
     ), "sequential propagation changed no downstream quantization"
+
+
+def test_gptq_intra_block_subsequencing():
+    """intra_block=True sub-sequences within each block: q/k/v calibrate
+    on the block input (same either way), but wo calibrates on the
+    attention output recomputed with the QUANTIZED q/k/v — so layer 0's
+    qkv match block-sequential while its wo (and later stages) diverge.
+    The result must still run the int4 dense path and track fp."""
+    import jax
+    import jax.numpy as jnp
+
+    from teal_tpu.config import SparsityConfig, get_model_config
+    from teal_tpu.calibration.gptq_runner import gptq_quantize_model
+    from teal_tpu.models import llama
+    from teal_tpu.models.llama import KVCache
+
+    cfg = get_model_config("tiny")
+    params = llama.init_params(cfg, jax.random.PRNGKey(3), jnp.float32)
+    toks = np.random.default_rng(7).integers(0, cfg.vocab_size, (1, 32))
+    blk = gptq_quantize_model(params, cfg, toks, group=32, sequential=True)
+    sub = gptq_quantize_model(params, cfg, toks, group=32, sequential=True,
+                              intra_block=True)
+
+    for n in ("wq", "wk", "wv"):
+        np.testing.assert_array_equal(
+            np.asarray(sub["layers"][n]["q"])[0],
+            np.asarray(blk["layers"][n]["q"])[0])
+    assert any(
+        not np.array_equal(np.asarray(sub["layers"][n]["q"])[0],
+                           np.asarray(blk["layers"][n]["q"])[0])
+        for n in ("wo", "wgate", "wup", "wdown")
+    ), "intra-block sub-sequencing changed no later-stage quantization"
+
+    ids = jnp.asarray(toks[:, :8], jnp.int32)
+    sp = SparsityConfig()
+    cache = KVCache.init(cfg, 1, 8, jnp.float32)
+    ref, _ = llama.forward(params, ids, cache, 0,
+                           llama.zero_thresholds(cfg), cfg=cfg, sp=sp)
+    cache = KVCache.init(cfg, 1, 8, jnp.bfloat16)
+    got, _ = llama.forward(sub, ids, cache, 0,
+                           llama.zero_thresholds(cfg), cfg=cfg, sp=sp)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert np.isfinite(np.asarray(got)).all()
+    assert rel < 0.25, rel
+
+    with pytest.raises(ValueError):
+        gptq_quantize_model(params, cfg, toks, group=32,
+                            sequential=False, intra_block=True)
