@@ -440,9 +440,13 @@ def _select_scan(thr, x_ref, scores_v, scores_s, idx_s, ssem, *,
     # group score: max |x| over lanes AND sublane rows — the pooled-max
     # batched rule (`select_groups_batched`); identical to the row-0
     # score when rows == 1 or rows are replicated/zero-padded
+    # keepdims + 2-D slice: a rank-1 [nb] intermediate here crashes the
+    # current Mosaic layout-inference pass (inferReshape check
+    # `arr.size() >= layout_rank`) — keep every vector rank >= 2
     scores_v[...] = jnp.max(
         jnp.abs(x_ref[...].astype(jnp.float32)), axis=(1, 2),
-    )[:, None]
+        keepdims=True,
+    )[:, 0, :]
     cp = pltpu.make_async_copy(scores_v, scores_s, ssem)
     cp.start()
     cp.wait()
