@@ -404,8 +404,12 @@ def _norm_fold(x3_ref, norm_ref, xn_ref, g_ref, gsem, layer_ref, *,
         jnp.sum(xf * xf, axis=(0, 2), keepdims=True) / jnp.float32(nb * G)
         + norm_eps)                                # [1, rows, 1]
     gcp.wait()
-    xn_ref[...] = (xf * scale).astype(x3_ref.dtype) \
-        * g_ref[...][:nb, None, :].astype(x3_ref.dtype)
+    # slice the REF, then expand dims on the loaded value: the combined
+    # `g_ref[...][:nb, None, :]` form lowers to a gather op Mosaic
+    # rejects ("Shape mismatch in input, indices and output") whenever
+    # nb < nbp (tiny configs; experiments/_repro_normfold.py)
+    g = g_ref[:nb, :].astype(x3_ref.dtype)
+    xn_ref[...] = (xf * scale).astype(x3_ref.dtype) * g[:, None, :]
 
 
 def _select_scan(thr, x_ref, scores_v, scores_s, idx_s, ssem, *,
@@ -439,14 +443,14 @@ def _select_scan(thr, x_ref, scores_v, scores_s, idx_s, ssem, *,
         return cap
     # group score: max |x| over lanes AND sublane rows — the pooled-max
     # batched rule (`select_groups_batched`); identical to the row-0
-    # score when rows == 1 or rows are replicated/zero-padded
-    # keepdims + 2-D slice: a rank-1 [nb] intermediate here crashes the
-    # current Mosaic layout-inference pass (inferReshape check
-    # `arr.size() >= layout_rank`) — keep every vector rank >= 2
-    scores_v[...] = jnp.max(
-        jnp.abs(x_ref[...].astype(jnp.float32)), axis=(1, 2),
-        keepdims=True,
-    )[:, 0, :]
+    # score when rows == 1 or rows are replicated/zero-padded.
+    # TWO-STEP reduction, every intermediate rank 2 with no
+    # size-1-middle-axis slice: a single axis=(1,2) reduction (with or
+    # without keepdims + slice) crashes the current Mosaic
+    # layout-inference pass (inferReshape check
+    # `arr.size() >= layout_rank`, layout.h:320 SIGABRT)
+    m = jnp.max(jnp.abs(x_ref[...].astype(jnp.float32)), axis=2)  # [nb, rows]
+    scores_v[...] = jnp.max(m, axis=1, keepdims=True)             # [nb, 1]
     cp = pltpu.make_async_copy(scores_v, scores_s, ssem)
     cp.start()
     cp.wait()
@@ -557,7 +561,7 @@ def _fused_select_gather_kernel(thr_ref, layer_ref, x3_ref, *refs, G: int,
             scoped = scoped[:-3]
         bufs, sems, acc = _unpack(scoped[:-5])
         scores_v = scoped[-5]           # VMEM (nb, 1) f32
-        scores_s = scoped[-4]           # SMEM (nb,) f32
+        scores_s = scoped[-4]           # SMEM (nb, 1) f32
         idx_s = scoped[-3]              # SMEM (cap,) i32
         cnt_s = scoped[-2]              # SMEM (1,) i32
         ssem = scoped[-1]               # DMA sem for the scores copy

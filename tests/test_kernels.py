@@ -12,6 +12,10 @@ from teal_tpu.config import SparsityConfig
 from teal_tpu.ops import block_gemv, gather_gemv, sparse_gemv
 from teal_tpu.ops.sparsify import sparsify
 
+# interpret-mode kernel equivalence dominates suite runtime (VERDICT r2
+# weak #7); fast dev lane: pytest -m "not slow" (< ~2 min)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(autouse=True)
 def _interpret_mode():

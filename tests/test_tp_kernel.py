@@ -12,9 +12,11 @@ from teal_tpu.models import llama
 from teal_tpu.models.llama import KVCache
 from teal_tpu.parallel import tp_kernel
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                       reason="needs 8 virtual devices"),
+]
 
 
 @pytest.fixture(scope="module")
