@@ -351,7 +351,12 @@ def cmd_ppl(args):
         n_cal = min(len(ids), 2048)
         cal_tokens = np.asarray(ids[:n_cal]).reshape(1, n_cal)
         params = apply_permutations(
-            params, compute_permutations(params, cfg, cal_tokens), cfg
+            params,
+            compute_permutations(
+                params, cfg, cal_tokens, method=args.permute_method,
+                block_size=args.block_size, sparsity=args.sparsity or 0.5,
+            ),
+            cfg,
         )
 
     dense = eval_ppl(params, cfg, ids, context_size=args.context_size,
@@ -592,9 +597,15 @@ def main(argv=None):
                         "(needs group histograms at the model's effective "
                         "group sizes)")
     p.add_argument("--permute", action="store_true",
-                   help="fold magnitude-sorted channel permutations into "
-                        "the weights before evaluating (improves group-"
-                        "mode accuracy; exact re-parameterization)")
+                   help="fold calibrated channel permutations into the "
+                        "weights before evaluating (improves group-mode "
+                        "accuracy; exact re-parameterization)")
+    p.add_argument("--permute-method", default="magnitude",
+                   choices=["magnitude", "coactivation"],
+                   help="magnitude: sort by calibrated mean |x|; "
+                        "coactivation: cluster channels whose per-token "
+                        "keep decisions correlate (targets real LLMs' "
+                        "co-firing structure — see docs/ACCURACY.md)")
     p.set_defaults(fn=cmd_ppl)
 
     e = sub.add_parser("eval")

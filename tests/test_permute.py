@@ -86,3 +86,69 @@ def test_permuted_block_decode_runs(tiny):
         lg, _ = llama.forward(pparams, jnp.array([[3]], jnp.int32), cache, 0,
                               llama.zero_thresholds(cfg), cfg=cfg, sp=sp)
     assert np.isfinite(np.asarray(lg)).all()
+
+
+def test_coactivation_beats_magnitude_on_structured_data():
+    """Per-token co-firing structure (latent gates) is invisible to
+    magnitude sorting but captured by keep-decision-correlation
+    clustering: dropped energy falls well below the magnitude perm's."""
+    from teal_tpu.calibration.permute import (
+        coactivation_perm, group_dropped_energy)
+
+    rng = np.random.default_rng(0)
+    P, D, G, n_latent = 1024, 512, 16, 32
+    z = rng.integers(0, n_latent, D)
+    sigma = np.exp(rng.normal(0, 0.15, D))     # real-h1-like bulk scales
+
+    def draw():
+        gates = np.exp(rng.normal(0, 1.2, (P, n_latent)))
+        return (gates[:, z] * sigma * rng.normal(size=(P, D))).astype(
+            np.float32)
+
+    x_cal, x = draw(), draw()
+    p_mag = sort_perm(channel_stats(x_cal))
+    p_co = coactivation_perm(x_cal, G, 0.5)
+    assert sorted(p_co.tolist()) == list(range(D))
+    d_mag = group_dropped_energy(x, p_mag, G, 0.5)
+    d_co = group_dropped_energy(x, p_co, G, 0.5)
+    assert d_co < 0.6 * d_mag, (d_co, d_mag)
+
+
+def test_coactivation_graceful_without_structure():
+    """On structure-free activations the held-out selection in
+    _calibrated_perm falls back to (approximately) magnitude quality."""
+    from teal_tpu.calibration.permute import (
+        _calibrated_perm, group_dropped_energy)
+
+    rng = np.random.default_rng(1)
+    P, D, G = 1024, 512, 16
+    sigma = np.exp(rng.normal(0, 0.9, D))
+    x_cal = (rng.normal(size=(P, D)) * sigma).astype(np.float32)
+    x = (rng.normal(size=(P, D)) * sigma).astype(np.float32)
+    p_mag = _calibrated_perm(x_cal, G, 0.5, "magnitude")
+    p_co = _calibrated_perm(x_cal, G, 0.5, "coactivation")
+    d_mag = group_dropped_energy(x, p_mag, G, 0.5)
+    d_co = group_dropped_energy(x, p_co, G, 0.5)
+    assert d_co < d_mag * 1.35, (d_co, d_mag)
+
+
+def test_coactivation_model_permutation_exact(tiny):
+    """method='coactivation' perms are valid and fold exactly."""
+    cfg, params = tiny
+    tokens = np.random.default_rng(2).integers(0, cfg.vocab_size, (1, 32))
+    perms = compute_permutations(params, cfg, tokens,
+                                 method="coactivation", block_size=32)
+    assert sorted(perms["residual"].tolist()) == list(range(cfg.dim))
+    for q in perms["inter"]:
+        assert sorted(q.tolist()) == list(range(cfg.intermediate_size))
+    pparams = apply_permutations(params, perms, cfg)
+
+    ids = jnp.asarray(tokens[:, :8], jnp.int32)
+    sp = SparsityConfig()
+    th = llama.zero_thresholds(cfg)
+    cache = KVCache.init(cfg, 1, 8, jnp.float32)
+    ref, _ = llama.forward(params, ids, cache, 0, th, cfg=cfg, sp=sp)
+    cache = KVCache.init(cfg, 1, 8, jnp.float32)
+    got, _ = llama.forward(pparams, ids, cache, 0, th, cfg=cfg, sp=sp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
