@@ -20,6 +20,15 @@ All stages execute an identical program every round (SPMD lockstep),
 so the "bubble" costs nothing extra — idle stages would be in lockstep
 anyway. The KV cache shards over `pp` on its layer dim like the params.
 
+Composition with data/tensor parallelism: the shard_map is manual over
+the `pp` axis ONLY (`axis_names={"pp"}`); any other mesh axes stay
+automatic, so on a ("dp", "pp", "tp") mesh (make_pp_mesh(pp, dp=, tp=))
+params placed with the combined pp×tp specs (pp_param_specs(..., cfg,
+tp=True)) keep their `tp` shardings inside the body — GSPMD partitions
+the projections and inserts the tp collectives per stage — while the
+batch stays `dp`-sharded. ppermute/psum over `pp` are the only manual
+collectives.
+
 This module targets correctness + the multi-chip dryrun (virtual CPU
 mesh); a production serving deployment would keep logits resident on
 the last stage instead of the final `psum` broadcast, and lay the cache
@@ -42,12 +51,18 @@ from teal_tpu.models import llama
 from teal_tpu.models.llama import KVCache
 
 
-def make_pp_mesh(pp: Optional[int] = None, devices=None) -> Mesh:
+def make_pp_mesh(pp: Optional[int] = None, devices=None, dp: int = 1,
+                 tp: int = 1) -> Mesh:
+    """("pp",) mesh, or ("dp", "pp", "tp") when dp/tp > 1 (composed
+    3-D parallelism; degenerate axes are kept so specs stay uniform)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
-    pp = pp or n
-    if pp > n:
-        raise ValueError(f"pp={pp} > {n} devices")
+    pp = pp or n // (dp * tp)
+    if pp * dp * tp > n:
+        raise ValueError(f"dp*pp*tp={dp}*{pp}*{tp} > {n} devices")
+    if dp > 1 or tp > 1:
+        return Mesh(np.asarray(devices[:dp * pp * tp]).reshape(dp, pp, tp),
+                    axis_names=("dp", "pp", "tp"))
     return Mesh(np.asarray(devices[:pp]).reshape(pp), axis_names=("pp",))
 
 
@@ -55,11 +70,35 @@ def _stage_spec(a):
     return P("pp", *([None] * (a.ndim - 1)))
 
 
-def pp_param_specs(params):
+def _with_pp(spec: P) -> P:
+    """Prefix a layer-stacked leaf's tp spec with `pp` on the layer dim
+    (tp.param_specs always leaves dim 0 — the L dim — unsharded)."""
+    dims = tuple(spec)
+    return P("pp", *dims[1:])
+
+
+def pp_param_specs(params, cfg: Optional[ModelConfig] = None,
+                   tp: bool = False):
     """PartitionSpec pytree: stacked layer leaves split over `pp` on dim 0
     (each stage owns a contiguous slab of layers); embeddings, final norm
     and lm_head replicated (stage 0 / last-stage use them; replication
-    keeps the SPMD program uniform)."""
+    keeps the SPMD program uniform).
+
+    tp=True (requires cfg): compose with tensor parallelism — layer
+    leaves additionally carry the Megatron col/row `tp` shardings from
+    `tp.param_specs` on their weight dims, and lm_head shards colwise."""
+    if tp:
+        from teal_tpu.parallel import tp as tp_mod
+
+        specs = tp_mod.param_specs(cfg, params)
+        return {
+            "embed": P(),
+            "layers": jax.tree.map(
+                _with_pp, specs["layers"],
+                is_leaf=lambda s: isinstance(s, P)),
+            "final_norm": P(),
+            "lm_head": specs["lm_head"],
+        }
     return {
         "embed": P(),
         "layers": jax.tree.map(_stage_spec, params["layers"]),
@@ -74,14 +113,18 @@ def pp_shard_params(params, mesh: Mesh, cfg: ModelConfig):
     pp = mesh.shape["pp"]
     if cfg.n_layers % pp:
         raise ValueError(f"n_layers={cfg.n_layers} not divisible by pp={pp}")
-    specs = pp_param_specs(params)
+    specs = pp_param_specs(params, cfg,
+                           tp="tp" in mesh.axis_names
+                              and mesh.shape["tp"] > 1)
     return jax.tree.map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, specs
     )
 
 
 def pp_shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
-    s = NamedSharding(mesh, P("pp"))
+    extra = mesh.axis_names != ("pp",)
+    spec = (P("pp", "dp", "tp", None, None) if extra else P("pp"))
+    s = NamedSharding(mesh, spec)
     return KVCache(k=jax.device_put(cache.k, s),
                    v=jax.device_put(cache.v, s))
 
@@ -114,6 +157,10 @@ def pp_forward(params, tokens, cache: KVCache, pos, thresholds, *,
         in_specs=(P(), layer_specs, P(), head_specs, P(), P("pp"), P("pp"),
                   P(), P("pp", None)),
         out_specs=(P(), KVCache(P("pp"), P("pp"))),
+        # manual over pp only: other mesh axes (dp, tp) stay automatic,
+        # so tp-sharded params / dp-sharded batch are GSPMD-partitioned
+        # inside each stage's program
+        axis_names=frozenset({"pp"}),
         check_vma=False,
     )
     def run(embed, layers_local, final_norm, lm_head, tokens, kc_loc, vc_loc,

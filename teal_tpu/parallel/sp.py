@@ -17,8 +17,14 @@ The TPU-native formulation (one `shard_map`, collectives over ICI):
     gather later without changing this interface);
   - logits come back S-sharded and are reassembled by the out_spec.
 
-Composition with tensor parallelism is orthogonal (different mesh axes);
-this module runs sp-only meshes, matching the dryrun/test scope.
+Composition with tensor parallelism: the shard_map is manual over the
+`sp` axis ONLY (`axis_names={"sp"}`); any other mesh axes (e.g. `tp`)
+stay automatic, so params placed with `tp.param_specs` shardings keep
+them inside the body and GSPMD partitions the projections / inserts the
+tp collectives exactly as on the plain TP path. `make_sp_mesh(sp, tp=t)`
+builds the 2-D ("sp", "tp") mesh; the cache comes back replicated over
+`sp` and head-sharded over `tp`, ready for TP decode on the same mesh
+(the prefill→decode handoff, tests/test_composed.py).
 """
 
 from __future__ import annotations
@@ -37,12 +43,18 @@ from teal_tpu.models import llama
 from teal_tpu.models.llama import KVCache
 
 
-def make_sp_mesh(sp: Optional[int] = None, devices=None) -> Mesh:
+def make_sp_mesh(sp: Optional[int] = None, devices=None,
+                 tp: int = 1) -> Mesh:
+    """("sp",) mesh, or ("sp", "tp") when tp > 1 (composed
+    sequence×tensor parallel prefill)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
-    sp = sp or n
-    if sp > n:
-        raise ValueError(f"sp={sp} > {n} devices")
+    sp = sp or n // tp
+    if sp * tp > n:
+        raise ValueError(f"sp*tp={sp}*{tp} > {n} devices")
+    if tp > 1:
+        return Mesh(np.asarray(devices[:sp * tp]).reshape(sp, tp),
+                    axis_names=("sp", "tp"))
     return Mesh(np.asarray(devices[:sp]).reshape(sp), axis_names=("sp",))
 
 
@@ -65,6 +77,9 @@ def sp_prefill(params, tokens, cache: KVCache, pos, thresholds, *,
         shard_map, mesh=mesh,
         in_specs=(P(), P(None, "sp"), KVCache(P(), P()), P(), P()),
         out_specs=(P(None, "sp", None), KVCache(P(), P())),
+        # manual over sp only: other mesh axes (tp) stay automatic, so
+        # tp-sharded params are GSPMD-partitioned inside the body
+        axis_names=frozenset({"sp"}),
         check_vma=False,
     )
     def run(params, tok_local, cache, pos, thresholds):
