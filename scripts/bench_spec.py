@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""On-chip speculative-decoding benchmark (VERDICT r2 #7).
+
+Rows:
+  - self-spec: draft = the 7B target's own weights decoded block-sparse
+    (lossless output — engine/speculative.py), sweep draft sparsity x k;
+  - tiny-draft: stories15M-architecture draft + 7B target (the
+    reference's protocol shape, gpt-fast/README.md:99 — 70B+7B there).
+
+Weights are random (no egress), so ACCEPTANCE is a weights artifact:
+near-uniform logits inflate temp-1.0 acceptance and deflate temp-0
+argmax agreement. The mechanically-true numbers are the round latency
+t_round and the implied tok/s curve tok/s(a) = (1 + k*a) / t_round;
+measured-acceptance rows are labeled as such. Everything runs through
+the on-device while_loop program (one host sync per generation).
+
+Usage: python scripts/bench_spec.py [--cpu-tiny] [--max-new 96]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu-tiny", action="store_true",
+                    help="smoke the harness on CPU with the tiny config")
+    ap.add_argument("--max-new", type=int, default=96)
+    ap.add_argument("--max-seq", type=int, default=256)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu_tiny:
+        jax.config.update("jax_platforms", "cpu")
+
+    import contextlib
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bench as benchmod
+
+    if args.cpu_tiny:
+        # Pallas kernels only lower for real on TPU; the CPU smoke runs
+        # them in interpret mode
+        from jax.experimental.pallas import tpu as pltpu
+
+        interpret_ctx = pltpu.force_tpu_interpret_mode
+    else:
+        interpret_ctx = contextlib.nullcontext
+    from teal_tpu.config import SparsityConfig, get_model_config
+    from teal_tpu.engine.speculative import speculative_generate
+    from teal_tpu.models import llama
+
+    model = "tiny" if args.cpu_tiny else "7B"
+    dtype = jnp.float32 if args.cpu_tiny else jnp.bfloat16
+    cfg, params = benchmod.build(model, args.max_seq, dtype)
+
+    # dense decode baseline (same slope protocol as bench.py)
+    dense = benchmod.decode_tps(
+        cfg, params, SparsityConfig(enabled=False), args.max_seq, 4, 16)
+    log(f"dense baseline: {dense:.2f} tok/s")
+
+    prompt = np.arange(1, 9, dtype=np.int64) % cfg.vocab_size
+    rows = []
+
+    def run_row(name, draft_cfg, draft_params, draft_sp, k, temperature,
+                draft_th=None):
+        kw = dict(
+            speculate_k=k, temperature=temperature, max_seq=args.max_seq,
+            target_sp=SparsityConfig(enabled=False), draft_sp=draft_sp,
+            draft_thresholds=draft_th, cache_dtype=dtype, device_loop=True,
+        )
+        # compile + warm
+        t0 = time.time()
+        with interpret_ctx():
+            speculative_generate(params, draft_params, cfg, draft_cfg,
+                                 prompt, 8, key=jax.random.PRNGKey(0), **kw)
+        log(f"  [{name}] compiled in {time.time()-t0:.1f}s")
+        best = None
+        for rep in range(3):
+            t0 = time.perf_counter()
+            with interpret_ctx():
+                toks, stats = speculative_generate(
+                    params, draft_params, cfg, draft_cfg, prompt,
+                    args.max_new, key=jax.random.PRNGKey(rep + 1), **kw)
+            dt = time.perf_counter() - t0
+            tps = stats["new_tokens"] / dt
+            if best is None or tps > best[0]:
+                best = (tps, stats, dt)
+        tps, stats, dt = best
+        r = stats["rounds"]
+        t_round = dt / r
+        alpha = stats["mean_accepted"] / k
+        row = {
+            "name": name, "k": k, "temperature": temperature,
+            "tok_s": round(tps, 2), "t_round_ms": round(t_round * 1e3, 2),
+            "alpha_measured": round(alpha, 3),
+            "speedup_vs_dense": round(tps / dense, 3),
+            "tok_s_at_alpha": {
+                str(a): round((1 + k * a) / t_round, 1)
+                for a in (0.5, 0.7, 0.85)
+            },
+        }
+        rows.append(row)
+        log(f"  [{name}] k={k} T={temperature}: {tps:.1f} tok/s "
+            f"({tps/dense:.2f}x), t_round {t_round*1e3:.1f} ms, "
+            f"alpha {alpha:.2f}")
+
+    # --- self-speculation: sparse draft of the same weights ---
+    for keep, k in ((0.5, 4), (0.25, 4), (0.25, 8)):
+        sp_draft = SparsityConfig(
+            enabled=True, kernel="block", block_size=128,
+            block_keep_frac=keep, block_thresholding=True)
+        run_row(f"self_spec_keep{int(keep*100)}", cfg, params, sp_draft,
+                k, 1.0, draft_th=llama.zero_thresholds(cfg))
+    # temp-0 row: acceptance = argmax agreement (deflated on random
+    # weights; exactness is what matters — tests prove output == greedy)
+    sp_draft = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                              block_keep_frac=0.5,
+                              block_thresholding=True)
+    run_row("self_spec_keep50_greedy", cfg, params, sp_draft, 4, 0.0,
+            draft_th=llama.zero_thresholds(cfg))
+
+    # --- tiny independent draft (reference protocol shape) ---
+    if not args.cpu_tiny:
+        dcfg_name = "stories15M"
+        dcfg = get_model_config(dcfg_name)
+        if dcfg.vocab_size == cfg.vocab_size:
+            dparams = benchmod.build(dcfg_name, args.max_seq, dtype)[1]
+            run_row("tiny_draft", dcfg, dparams,
+                    SparsityConfig(enabled=False), 5, 1.0)
+        else:
+            log(f"skip tiny_draft: vocab mismatch {dcfg.vocab_size}")
+
+    out = {
+        "metric": "speculative_decode",
+        "dense_tok_s": round(dense, 2),
+        "rows": rows,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -231,23 +231,34 @@ def _generate_speculative(args, cfg, params, tok, sp, thresholds):
     from teal_tpu.engine.speculative import speculative_generate
     from teal_tpu.utils import profiling
 
-    if not (args.draft_checkpoint or args.draft_model):
-        raise SystemExit("--speculate-k needs --draft-checkpoint or "
-                         "--draft-model (with --random-init)")
+    if args.self_speculate:
+        # self-speculation: the draft IS the target's weights decoded
+        # through the block-sparse kernel; the dense verify makes the
+        # output distribution EXACTLY the dense model's (lossless
+        # sparsity — engine/speculative.py docstring)
+        if args.draft_sparsity <= 0:
+            args.draft_sparsity = 0.5
+        draft_cfg, draft_params = cfg, params
+    else:
+        if not (args.draft_checkpoint or args.draft_model):
+            raise SystemExit("--speculate-k needs --draft-checkpoint, "
+                             "--draft-model (with --random-init), or "
+                             "--self-speculate")
 
-    class _DraftArgs:
-        model = args.draft_model or args.model
-        checkpoint = args.draft_checkpoint
-        random_init = args.random_init and not args.draft_checkpoint
-        seed = args.seed + 99
-        fp32 = args.fp32
-        n_layers = None
-        kernel = args.kernel
-        block_size = args.block_size
+        class _DraftArgs:
+            model = args.draft_model or args.model
+            checkpoint = args.draft_checkpoint
+            random_init = args.random_init and not args.draft_checkpoint
+            seed = args.seed + 99
+            fp32 = args.fp32
+            n_layers = None
+            kernel = args.kernel
+            block_size = args.block_size
 
-    draft_cfg, draft_params = _load_model(_DraftArgs)
+        draft_cfg, draft_params = _load_model(_DraftArgs)
     draft_sp = SparsityConfig(
-        enabled=args.draft_sparsity > 0, kernel=args.kernel,
+        enabled=args.draft_sparsity > 0,
+        kernel=args.kernel if not args.self_speculate else "block",
         block_size=args.block_size,
         block_keep_frac=1.0 - args.draft_sparsity,
     )
@@ -260,7 +271,10 @@ def _generate_speculative(args, cfg, params, tok, sp, thresholds):
             temperature=args.temperature, top_k=args.top_k,
             max_seq=args.max_seq, target_sp=sp, draft_sp=draft_sp,
             target_thresholds=__import__("jax").numpy.asarray(thresholds),
+            draft_thresholds=(__import__("jax").numpy.asarray(thresholds)
+                              if args.self_speculate else None),
             key=jax.random.PRNGKey(args.seed + i),
+            device_loop=args.device_loop,
         )
         dt = time.time() - t0
         print(tok.decode(out[len(ids):]))
@@ -542,6 +556,14 @@ def main(argv=None):
     g.add_argument("--draft-model", default=None,
                    help="draft architecture name (default: --model)")
     g.add_argument("--draft-sparsity", type=float, default=0.0)
+    g.add_argument("--self-speculate", action="store_true",
+                   help="draft = the target's own weights decoded "
+                        "block-sparse at --draft-sparsity (default 0.5); "
+                        "dense verify makes the output distribution "
+                        "exactly the dense model's (lossless sparsity)")
+    g.add_argument("--device-loop", action="store_true",
+                   help="run the whole speculative generation as one "
+                        "on-device while_loop program (single host sync)")
     g.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace of the last sample")
     g.add_argument("--metrics", default=None, metavar="FILE",

@@ -16,6 +16,20 @@ The whole step is one jitted program with fixed shapes: it returns a
 `[k+1]` token buffer plus `n_valid` (accepted + 1); the host loop advances
 by `n_valid`. This keeps XLA happy where the reference relies on dynamic
 Python control flow.
+
+`speculative_generate(..., device_loop=True)` goes further than the
+reference: the ENTIRE generation loop runs on-device as one
+`lax.while_loop` program (accepted tokens written at dynamic offsets into
+a fixed buffer), so the host syncs once per generation instead of once
+per step — essential when dispatch latency is non-trivial.
+
+Self-speculation (`draft_params is target_params` with a sparse
+`draft_sp`): the draft is the SAME weights decoded through the
+block-sparse kernel and the target verifies densely. Speculative
+sampling guarantees the output distribution equals dense decoding
+exactly, so this converts TEAL sparsity into a LOSSLESS speedup whose
+magnitude scales with the sparse/dense agreement rate — no perplexity
+delta at any sparsity (tests/test_speculative.py exactness tests).
 """
 
 from __future__ import annotations
@@ -33,6 +47,69 @@ from teal_tpu.models import llama
 from teal_tpu.models.llama import KVCache
 
 
+def _sample_probs(key, probs):
+    return jax.random.categorical(key, jnp.log(probs + 1e-30), axis=-1)
+
+
+def _spec_step(pt, pd, cache_t, cache_d, token, pos, th_t, th_d, key, *,
+               k, temperature, top_k, target_cfg, draft_cfg, target_sp,
+               draft_sp):
+    """One draft-propose / target-verify round (traced; shared by the
+    host-loop step and the on-device while_loop program).
+
+    Returns (tokens [k+1], n_valid, cache_t, cache_d, key)."""
+    # --- draft: k sequential tokens ---
+    def dbody(carry, i):
+        tok, cache_d, key = carry
+        key, sub = jax.random.split(key)
+        logits, cache_d = llama.forward(
+            pd, tok[:, None], cache_d, pos + i, th_d,
+            cfg=draft_cfg, sp=draft_sp,
+        )
+        probs = logits_to_probs(logits[0, 0], temperature, top_k)
+        tok = _sample_probs(sub, probs)[None].astype(jnp.int32)
+        return (tok, cache_d, key), (tok[0], probs)
+
+    (last_tok, cache_d, key), (dtoks, dprobs) = jax.lax.scan(
+        dbody, (token, cache_d, key), jnp.arange(k)
+    )
+
+    # --- target: verify in one forward over k+1 positions ---
+    seq = jnp.concatenate([token, dtoks])[None, :]          # [1, k+1]
+    tlogits, cache_t = llama.forward(
+        pt, seq, cache_t, pos, th_t, cfg=target_cfg, sp=target_sp,
+    )
+    tprobs = logits_to_probs(tlogits[0], temperature, top_k)  # [k+1, V]
+
+    p = dprobs[jnp.arange(k), dtoks]                         # draft
+    q = tprobs[jnp.arange(k), dtoks]                         # target
+    key, kacc, kres = jax.random.split(key, 3)
+    accept = jax.random.uniform(kacc, (k,)) < jnp.minimum(1.0, q / p)
+    any_rej = jnp.any(~accept)
+    acc_len = jnp.where(any_rej, jnp.argmax(~accept), k)
+
+    # residual distribution at the rejection point; dprobs padded with a
+    # zero row so acc_len == k degenerates to sampling tprobs[k]
+    dprobs_pad = jnp.concatenate(
+        [dprobs, jnp.zeros_like(tprobs[:1])], axis=0
+    )
+    residual = jnp.maximum(tprobs[acc_len] - dprobs_pad[acc_len], 0.0)
+    residual = residual / jnp.maximum(residual.sum(), 1e-30)
+    next_token = _sample_probs(kres, residual).astype(jnp.int32)
+
+    # top up the draft cache with its own last token (reference :133-137)
+    _, cache_d = llama.forward(
+        pd, dtoks[-1][None, None], cache_d, pos + k, th_d,
+        cfg=draft_cfg, sp=draft_sp,
+    )
+
+    idx = jnp.arange(k + 1)
+    out = jnp.where(idx < acc_len,
+                    jnp.concatenate([dtoks, dtoks[-1:]]),
+                    jnp.where(idx == acc_len, next_token, 0))
+    return out, acc_len + 1, cache_t, cache_d, key
+
+
 def build_speculative_step(
     target_cfg: ModelConfig,
     draft_cfg: ModelConfig,
@@ -47,65 +124,71 @@ def build_speculative_step(
     (pt, pd, cache_t, cache_d, token[1], pos, th_t, th_d, key)
       -> (tokens[k+1], n_valid, cache_t, cache_d, key)
     """
+    step = functools.partial(
+        _spec_step, k=speculate_k, temperature=temperature, top_k=top_k,
+        target_cfg=target_cfg, draft_cfg=draft_cfg, target_sp=target_sp,
+        draft_sp=draft_sp,
+    )
+    return jax.jit(step, donate_argnums=(2, 3))
+
+
+def build_speculative_loop(
+    target_cfg: ModelConfig,
+    draft_cfg: ModelConfig,
+    *,
+    speculate_k: int,
+    max_new_tokens: int,
+    max_seq: int,
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    target_sp: SparsityConfig = SparsityConfig(),
+    draft_sp: SparsityConfig = SparsityConfig(),
+):
+    """The WHOLE generation loop as one jitted on-device program
+    (`lax.while_loop` over speculative rounds; accepted tokens written at
+    dynamic offsets into a fixed `[max_new + k]` buffer). One host sync
+    per generation instead of one per round — the reference's Python loop
+    (`generate.py:98-146`) pays a host round-trip every k tokens.
+
+    Returns a jitted fn:
+    (pt, pd, cache_t, cache_d, token[1], pos, th_t, th_d, key)
+      -> (out_buf [max_new + k], n_out, n_rounds, pos_final)
+    """
     k = speculate_k
 
-    def sample_probs(key, probs):
-        return jax.random.categorical(key, jnp.log(probs + 1e-30), axis=-1)
-
     @functools.partial(jax.jit, donate_argnums=(2, 3))
-    def step(pt, pd, cache_t, cache_d, token, pos, th_t, th_d, key):
-        # --- draft: k sequential tokens ---
-        def dbody(carry, i):
-            tok, cache_d, key = carry
-            key, sub = jax.random.split(key)
-            logits, cache_d = llama.forward(
-                pd, tok[:, None], cache_d, pos + i, th_d,
-                cfg=draft_cfg, sp=draft_sp,
+    def run(pt, pd, cache_t, cache_d, token, pos, th_t, th_d, key):
+        out_buf = jnp.zeros((max_new_tokens + k,), jnp.int32)
+        pos = jnp.asarray(pos, jnp.int32).reshape(())
+
+        def cond(state):
+            n_out, pos, *_ = state
+            return (n_out < max_new_tokens) & (pos + k + 1 < max_seq)
+
+        def body(state):
+            n_out, pos, out_buf, token, cache_t, cache_d, key, rounds = state
+            toks, n_valid, cache_t, cache_d, key = _spec_step(
+                pt, pd, cache_t, cache_d, token, pos, th_t, th_d, key,
+                k=k, temperature=temperature, top_k=top_k,
+                target_cfg=target_cfg, draft_cfg=draft_cfg,
+                target_sp=target_sp, draft_sp=draft_sp,
             )
-            probs = logits_to_probs(logits[0, 0], temperature, top_k)
-            tok = sample_probs(sub, probs)[None].astype(jnp.int32)
-            return (tok, cache_d, key), (tok[0], probs)
+            # write the k+1 candidate slots at the current offset; slots
+            # past n_valid are overwritten by the next round (or sliced
+            # off by the caller)
+            out_buf = jax.lax.dynamic_update_slice(out_buf, toks, (n_out,))
+            token = jax.lax.dynamic_slice(toks, (n_valid - 1,), (1,))
+            return (n_out + n_valid, pos + n_valid, out_buf, token,
+                    cache_t, cache_d, key, rounds + 1)
 
-        (last_tok, cache_d, key), (dtoks, dprobs) = jax.lax.scan(
-            dbody, (token, cache_d, key), jnp.arange(k)
+        n_out, pos, out_buf, _, _, _, _, rounds = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), pos, out_buf, token, cache_t, cache_d, key,
+             jnp.int32(0)),
         )
+        return out_buf, n_out, rounds, pos
 
-        # --- target: verify in one forward over k+1 positions ---
-        seq = jnp.concatenate([token, dtoks])[None, :]          # [1, k+1]
-        tlogits, cache_t = llama.forward(
-            pt, seq, cache_t, pos, th_t, cfg=target_cfg, sp=target_sp,
-        )
-        tprobs = logits_to_probs(tlogits[0], temperature, top_k)  # [k+1, V]
-
-        p = dprobs[jnp.arange(k), dtoks]                         # draft
-        q = tprobs[jnp.arange(k), dtoks]                         # target
-        key, kacc, kres = jax.random.split(key, 3)
-        accept = jax.random.uniform(kacc, (k,)) < jnp.minimum(1.0, q / p)
-        any_rej = jnp.any(~accept)
-        acc_len = jnp.where(any_rej, jnp.argmax(~accept), k)
-
-        # residual distribution at the rejection point; dprobs padded with a
-        # zero row so acc_len == k degenerates to sampling tprobs[k]
-        dprobs_pad = jnp.concatenate(
-            [dprobs, jnp.zeros_like(tprobs[:1])], axis=0
-        )
-        residual = jnp.maximum(tprobs[acc_len] - dprobs_pad[acc_len], 0.0)
-        residual = residual / jnp.maximum(residual.sum(), 1e-30)
-        next_token = sample_probs(kres, residual).astype(jnp.int32)
-
-        # top up the draft cache with its own last token (reference :133-137)
-        _, cache_d = llama.forward(
-            pd, dtoks[-1][None, None], cache_d, pos + k, th_d,
-            cfg=draft_cfg, sp=draft_sp,
-        )
-
-        idx = jnp.arange(k + 1)
-        out = jnp.where(idx < acc_len,
-                        jnp.concatenate([dtoks, dtoks[-1:]]),
-                        jnp.where(idx == acc_len, next_token, 0))
-        return out, acc_len + 1, cache_t, cache_d, key
-
-    return step
+    return run
 
 
 def speculative_generate(
@@ -124,8 +207,13 @@ def speculative_generate(
     draft_thresholds=None,
     key=None,
     cache_dtype=jnp.bfloat16,
+    device_loop: bool = False,
 ) -> Tuple[np.ndarray, dict]:
-    """Host loop. Returns (all tokens [T+new], stats)."""
+    """Returns (all tokens [T+new], stats).
+
+    device_loop=False: host loop (one sync per round; interactive use).
+    device_loop=True: the whole generation is one on-device while_loop
+    program with a single host sync (build_speculative_loop)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     th_t = (target_thresholds if target_thresholds is not None
@@ -152,6 +240,33 @@ def speculative_generate(
         draft_params, prompt, cache_d, 0, th_d,
         cfg=draft_cfg, sp=draft_sp,
     )
+
+    if device_loop:
+        run = build_speculative_loop(
+            target_cfg, draft_cfg, speculate_k=speculate_k,
+            max_new_tokens=max_new_tokens - 1, max_seq=max_seq,
+            temperature=temperature, top_k=top_k,
+            target_sp=target_sp, draft_sp=draft_sp,
+        )
+        out_buf, n_out, rounds, _ = run(
+            target_params, draft_params, cache_t, cache_d, cur, t,
+            th_t, th_d, key,
+        )
+        n = int(n_out)
+        r = max(int(rounds), 1)
+        new = [int(np.asarray(cur)[0])] + [
+            int(x) for x in np.asarray(out_buf)[:n]
+        ]
+        new = new[:max_new_tokens]
+        all_tokens = np.concatenate(
+            [np.asarray(prompt)[0], np.asarray(new, np.int64)]
+        )
+        return all_tokens, {
+            "accepted_per_step": [],
+            "mean_accepted": (n - r) / r,
+            "new_tokens": len(new),
+            "rounds": r,
+        }
 
     step = build_speculative_step(
         target_cfg, draft_cfg, speculate_k=speculate_k,

@@ -60,6 +60,49 @@ def test_different_draft_partial_acceptance(tiny):
     assert np.all(toks >= 0) and np.all(toks < cfg.vocab_size)
 
 
+def test_device_loop_matches_host_loop(tiny):
+    """The on-device while_loop program must produce exactly the host
+    loop's tokens (same RNG key stream, same acceptance decisions)."""
+    cfg, params = tiny
+    draft_params = llama.init_params(cfg, jax.random.PRNGKey(7),
+                                     jnp.float32)
+    kw = dict(speculate_k=3, temperature=1.0, top_k=20, max_seq=64,
+              cache_dtype=jnp.float32)
+    host, hstats = speculative_generate(
+        params, draft_params, cfg, cfg, [4, 8, 2], 14,
+        key=jax.random.PRNGKey(11), **kw)
+    dev, dstats = speculative_generate(
+        params, draft_params, cfg, cfg, [4, 8, 2], 14,
+        key=jax.random.PRNGKey(11), device_loop=True, **kw)
+    np.testing.assert_array_equal(host[:len(dev)], dev)
+    assert dstats["rounds"] >= 1
+
+
+def test_self_speculative_lossless_greedy(tiny):
+    """Self-speculation: a SPARSE draft of the same weights + dense
+    verify must reproduce the dense model's greedy output exactly —
+    sparsity as a lossless speedup, whatever the draft's quality."""
+    cfg, params = tiny
+    from teal_tpu.config import SparsityConfig
+
+    prompt = np.array([3, 1, 4])
+    gen = Generator(cfg, params, max_seq=64, temperature=0.0)
+    ref, _ = gen.generate(prompt, 12)
+
+    # aggressively sparse draft (high threshold) — disagreement expected
+    draft_sp = SparsityConfig(enabled=True)
+    th = jnp.full((cfg.n_layers, 7), 0.08, jnp.float32)
+    for device_loop in (False, True):
+        toks, stats = speculative_generate(
+            params, params, cfg, cfg, prompt, 12,
+            speculate_k=4, temperature=0.0, max_seq=64,
+            cache_dtype=jnp.float32, draft_sp=draft_sp,
+            draft_thresholds=th, key=jax.random.PRNGKey(5),
+            device_loop=device_loop,
+        )
+        np.testing.assert_array_equal(ref[0][:3 + 12], toks[:3 + 12])
+
+
 def test_speculative_with_sparse_target(tiny):
     """Speculative decoding composes with activation sparsity on the
     target model (masked-dense accuracy path)."""
