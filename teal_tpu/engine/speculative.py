@@ -119,16 +119,25 @@ def build_speculative_step(
     top_k: Optional[int] = None,
     target_sp: SparsityConfig = SparsityConfig(),
     draft_sp: SparsityConfig = SparsityConfig(),
+    shared_params: bool = False,
 ):
     """Returns a jitted step:
     (pt, pd, cache_t, cache_d, token[1], pos, th_t, th_d, key)
       -> (tokens[k+1], n_valid, cache_t, cache_d, key)
-    """
+
+    shared_params: see build_speculative_loop — avoids double-counting
+    the weights at AOT compile when draft and target share buffers."""
     step = functools.partial(
         _spec_step, k=speculate_k, temperature=temperature, top_k=top_k,
         target_cfg=target_cfg, draft_cfg=draft_cfg, target_sp=target_sp,
         draft_sp=draft_sp,
     )
+    if shared_params:
+        shared = jax.jit(
+            lambda p, cache_t, cache_d, *rest:
+            step(p, p, cache_t, cache_d, *rest),
+            donate_argnums=(1, 2))
+        return lambda pt, pd, *rest: shared(pt, *rest)
     return jax.jit(step, donate_argnums=(2, 3))
 
 
@@ -143,6 +152,7 @@ def build_speculative_loop(
     top_k: Optional[int] = None,
     target_sp: SparsityConfig = SparsityConfig(),
     draft_sp: SparsityConfig = SparsityConfig(),
+    shared_params: bool = False,
 ):
     """The WHOLE generation loop as one jitted on-device program
     (`lax.while_loop` over speculative rounds; accepted tokens written at
@@ -153,11 +163,17 @@ def build_speculative_loop(
     Returns a jitted fn:
     (pt, pd, cache_t, cache_d, token[1], pos, th_t, th_d, key)
       -> (out_buf [max_new + k], n_out, n_rounds, pos_final)
+
+    shared_params=True (self-speculation: the draft IS the target's
+    weights, read at a sparser threshold schedule) drops `pd` from the
+    program's parameter list and reuses `pt` for both roles. Without
+    this, AOT compile accounts the two param pytrees separately even
+    when the caller passes the same buffers — a 13.5 GB bf16 7B gets
+    double-counted and a 16 GB chip OOMs at compile.
     """
     k = speculate_k
 
-    @functools.partial(jax.jit, donate_argnums=(2, 3))
-    def run(pt, pd, cache_t, cache_d, token, pos, th_t, th_d, key):
+    def run_impl(pt, pd, cache_t, cache_d, token, pos, th_t, th_d, key):
         out_buf = jnp.zeros((max_new_tokens + k,), jnp.int32)
         pos = jnp.asarray(pos, jnp.int32).reshape(())
 
@@ -188,7 +204,13 @@ def build_speculative_loop(
         )
         return out_buf, n_out, rounds, pos
 
-    return run
+    if shared_params:
+        shared = jax.jit(
+            lambda p, cache_t, cache_d, token, pos, th_t, th_d, key:
+            run_impl(p, p, cache_t, cache_d, token, pos, th_t, th_d, key),
+            donate_argnums=(1, 2))
+        return lambda pt, pd, *rest: shared(pt, *rest)
+    return jax.jit(run_impl, donate_argnums=(2, 3))
 
 
 def speculative_generate(
@@ -247,6 +269,7 @@ def speculative_generate(
             max_new_tokens=max_new_tokens - 1, max_seq=max_seq,
             temperature=temperature, top_k=top_k,
             target_sp=target_sp, draft_sp=draft_sp,
+            shared_params=target_params is draft_params,
         )
         out_buf, n_out, rounds, _ = run(
             target_params, draft_params, cache_t, cache_d, cur, t,
@@ -272,6 +295,7 @@ def speculative_generate(
         target_cfg, draft_cfg, speculate_k=speculate_k,
         temperature=temperature, top_k=top_k,
         target_sp=target_sp, draft_sp=draft_sp,
+        shared_params=target_params is draft_params,
     )
 
     out = [int(np.asarray(cur)[0])]

@@ -59,10 +59,13 @@ def test_tp_kernel_decode_matches_single_device(tiny, tp):
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4,
                                    err_msg=f"tp={tp} pos={p}")
+        # current-token k/v are computed in-kernel (gather GEMV + RoPE)
+        # vs in XLA for the ref — fp32 FMA/fusion ordering differs by
+        # ~1 ulp (observed 1.2e-6 on single elements)
         np.testing.assert_allclose(np.asarray(cg.k), np.asarray(cr.k),
-                                   rtol=1e-5, atol=1e-6)
+                                   rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(cg.v), np.asarray(cr.v),
-                                   rtol=1e-5, atol=1e-6)
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_tp_kernel_multi_step_consistency(tiny):
