@@ -171,7 +171,7 @@ def build(model_name: str, max_seq: int, dtype, random_init: bool = False,
     # the tunnel runtime reclaims a just-exited process's chip memory
     # lazily: a bench started right after another one can transiently
     # see a near-full 16 GB chip — retry instead of dying
-    for attempt in range(4):
+    for attempt in range(8):
         try:
             if weights == "int8":
                 params = _fast_init_int8(cfg, dtype)
@@ -186,7 +186,7 @@ def build(model_name: str, max_seq: int, dtype, random_init: bool = False,
             jax.device_get(jax.tree.map(lambda a: a.ravel()[0], params))
             break
         except jax.errors.JaxRuntimeError as e:
-            if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 3:
+            if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 7:
                 raise
             params = None   # drop any partially built tree
             log(f"chip memory not yet reclaimed (attempt {attempt + 1}); "
@@ -354,7 +354,8 @@ def kernel_numerics_check(tol: float = 2e-2):
         # checked too). Tolerance: the comparison's error is dominated
         # by the XLA einsum reference itself (bf16 MXU operand rounding
         # of scores, amplified through softmax) — the kernel computes
-        # scores in fp32 on the VPU. Measured 1.94e-2 on chip at T=512.
+        # scores/PV as fp32-operand MXU dots. Measured ~2-3e-2 on chip
+        # at T=512.
         from teal_tpu.models import llama
         from teal_tpu.ops import decode_attention as da
 
@@ -429,6 +430,11 @@ def main():
                          "ONE Pallas launch (default auto-on with the "
                          "packed pipeline). --no-token benches the "
                          "4-launch/layer packed pipeline")
+    ap.add_argument("--fused-attn", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="force the fused decode-attention kernel on/off "
+                         "for non-token sparse paths (default: model "
+                         "heuristic)")
     ap.add_argument("--fixed-selection", action="store_true",
                     help="diagnostic: identity kept-set (groups 0..cap-1) "
                          "instead of the in-kernel threshold scan — same "
@@ -486,6 +492,7 @@ def main():
         block_thresholding=args.thresholded,
         packed_pipeline=args.packed,
         token_fused=args.token,
+        fused_decode_attention=args.fused_attn,
         debug_fixed_selection=args.fixed_selection,
     )
     # fallback ladder: if the production config crashes the toolchain,

@@ -50,22 +50,44 @@ def main():
     kn = jnp.ones((B, Hkv, 1, D), jnp.bfloat16) * 0.03
     vn = jnp.ones((B, Hkv, 1, D), jnp.bfloat16) * 0.05
 
-    fused = jax.jit(lambda q, kn, vn, kc, vc, pos: da.decode_attention(
-        q, kn, vn, kc, vc, 1, jnp.full((B,), pos, jnp.int32))[0])
+    # the tunnel runtime costs ~23 ms per host dispatch — time by
+    # in-program repetition (serial dependence through q) and slope
+    import functools
 
-    def xla_ref(q, kc1, vc1, pos):
-        return llama._attention(q, kc1, vc1,
-                                jnp.full((B,), pos, jnp.int32), 1, T, None)
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def fused(q, kn, vn, kc, vc, n, pos):
+        def body(i, carry):
+            qq, kc_, vc_ = carry
+            o, kc_, vc_ = da.decode_attention(
+                qq, kn, vn, kc_, vc_, 1, jnp.full((B,), pos, jnp.int32))
+            return (qq + o.astype(qq.dtype) * 1e-3, kc_, vc_)
+        return jax.lax.fori_loop(0, n, body, (q, kc, vc))[0]
 
-    xla = jax.jit(xla_ref)
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def xla(q, kc1, vc1, n, pos):
+        def body(i, qq):
+            o = llama._attention(qq, kc1, vc1,
+                                 jnp.full((B,), pos, jnp.int32), 1, T,
+                                 None)
+            return qq + o.astype(qq.dtype) * 1e-3
+        return jax.lax.fori_loop(0, n, body, q)
 
+    n_lo, n_hi = 8, 40
     for pos in (64, 512, 1024, 1990):
-        tf = timeit(lambda: jax.device_get(fused(q, kn, vn, kc, vc, pos)))
+        tf_lo = timeit(lambda: jax.device_get(
+            fused(q, kn, vn, kc, vc, n_lo, pos)), reps=8)
+        tf_hi = timeit(lambda: jax.device_get(
+            fused(q, kn, vn, kc, vc, n_hi, pos)), reps=8)
+        tf = (tf_hi - tf_lo) / (n_hi - n_lo)
         # visible chunks the kernel DMAs: ceil((pos+1)/256) chunks of K+V
         nchunks = (pos // 256) + 1
         bytes_read = 2 * Hkv * nchunks * 256 * D * 2
         roofline = bytes_read / (HBM_GBPS * 1e9)
-        tx = timeit(lambda: jax.device_get(xla(q, kc[1], vc[1], pos)))
+        tx_lo = timeit(lambda: jax.device_get(
+            xla(q, kc[1], vc[1], n_lo, pos)), reps=8)
+        tx_hi = timeit(lambda: jax.device_get(
+            xla(q, kc[1], vc[1], n_hi, pos)), reps=8)
+        tx = (tx_hi - tx_lo) / (n_hi - n_lo)
         log(f"pos={pos:5d}: fused {tf*1e6:8.1f} us | DMA roofline "
             f"{roofline*1e6:6.1f} us ({tf/roofline:4.1f}x) | "
             f"XLA einsum (full T) {tx*1e6:8.1f} us")
