@@ -77,8 +77,10 @@ def main():
         return run_n
 
     n_lo, n_hi = 8, 40
-    for name, sp in (("sparse draft decode step", sp_draft),
-                     ("dense decode step       ", sp_dense)):
+    pieces = args.pieces
+    for name, sp in ([("sparse draft decode step", sp_draft),
+                      ("dense decode step       ", sp_dense)]
+                     if "1" in pieces else []):
         run_n = make_decode(sp)
         cache = KVCache.init(cfg, 1, max_seq, jnp.bfloat16)
         t_lo = timeit(lambda: jax.device_get(run_n(params, cache, n_lo)))
@@ -87,39 +89,41 @@ def main():
         log(f"1. {name}: {t*1e3:7.2f} ms")
 
     # 2. dense verify forward over k+1 positions (slope)
-    seq = jnp.ones((1, k + 1), jnp.int32)
+    if "2" in pieces:
+        seq = jnp.ones((1, k + 1), jnp.int32)
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def verify_n(p, c, n):
-        def body(i, carry):
-            s, c = carry
-            logits, c = llama.forward(p, s, c, pos0, th,
-                                      cfg=cfg, sp=sp_dense)
-            return (jnp.argmax(logits, -1).astype(jnp.int32), c)
-        return jax.lax.fori_loop(0, n, body, (seq, c))[0]
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def verify_n(p, c, n):
+            def body(i, carry):
+                s, c = carry
+                logits, c = llama.forward(p, s, c, pos0, th,
+                                          cfg=cfg, sp=sp_dense)
+                return (jnp.argmax(logits, -1).astype(jnp.int32), c)
+            return jax.lax.fori_loop(0, n, body, (seq, c))[0]
 
-    cache = KVCache.init(cfg, 1, max_seq, jnp.bfloat16)
-    t_lo = timeit(lambda: jax.device_get(verify_n(params, cache, n_lo)))
-    t_hi = timeit(lambda: jax.device_get(verify_n(params, cache, n_hi)))
-    t2 = (t_hi - t_lo) / (n_hi - n_lo)
-    log(f"2. dense verify fwd (k+1={k+1}): {t2*1e3:7.2f} ms")
+        cache = KVCache.init(cfg, 1, max_seq, jnp.bfloat16)
+        t_lo = timeit(lambda: jax.device_get(verify_n(params, cache, n_lo)))
+        t_hi = timeit(lambda: jax.device_get(verify_n(params, cache, n_hi)))
+        t2 = (t_hi - t_lo) / (n_hi - n_lo)
+        log(f"2. dense verify fwd (k+1={k+1}): {t2*1e3:7.2f} ms")
 
     # 3. one jitted _spec_step (floor-corrected single dispatch)
-    step = spec.build_speculative_step(
-        cfg, cfg, speculate_k=k, temperature=1.0,
-        target_sp=sp_dense, draft_sp=sp_draft, shared_params=True)
     key = jax.random.PRNGKey(0)
+    if "3" in pieces:
+        step = spec.build_speculative_step(
+            cfg, cfg, speculate_k=k, temperature=1.0,
+            target_sp=sp_dense, draft_sp=sp_draft, shared_params=True)
 
-    def run_step():
-        ct = KVCache.init(cfg, 1, max_seq, jnp.bfloat16)
-        cd = KVCache.init(cfg, 1, max_seq, jnp.bfloat16)
-        toks, n, ct, cd, k2 = step(params, params, ct, cd,
-                                   jnp.asarray([3], jnp.int32), pos0,
-                                   th, th, key)
-        return jax.device_get(toks)
+        def run_step():
+            ct = KVCache.init(cfg, 1, max_seq, jnp.bfloat16)
+            cd = KVCache.init(cfg, 1, max_seq, jnp.bfloat16)
+            toks, n, ct, cd, k2 = step(params, params, ct, cd,
+                                       jnp.asarray([3], jnp.int32), pos0,
+                                       th, th, key)
+            return jax.device_get(toks)
 
-    t3 = timeit(run_step, reps=6) - t0f
-    log(f"3. one jitted _spec_step:    {t3*1e3:7.2f} ms")
+        t3 = timeit(run_step, reps=6) - t0f
+        log(f"3. one jitted _spec_step:    {t3*1e3:7.2f} ms")
 
     # 4. while_loop per-round slope via the round counter
     def loop_run(max_new):
@@ -139,11 +143,12 @@ def main():
         t = timeit(go, reps=6)
         return t, r
 
-    t_a, r_a = loop_run(k)           # ~1 round
-    t_b, r_b = loop_run(8 * k)       # ~8 rounds (alpha~1 on rand weights)
-    t4 = (t_b - t_a) / max(r_b - r_a, 1)
-    log(f"4. while_loop t_round:       {t4*1e3:7.2f} ms "
-        f"(rounds {r_a} -> {r_b})")
+    if "4" in pieces:
+        t_a, r_a = loop_run(k)           # ~1 round
+        t_b, r_b = loop_run(8 * k)       # ~8 rounds (alpha~1 on rand wts)
+        t4 = (t_b - t_a) / max(r_b - r_a, 1)
+        log(f"4. while_loop t_round:       {t4*1e3:7.2f} ms "
+            f"(rounds {r_a} -> {r_b})")
 
 
 if __name__ == "__main__":
