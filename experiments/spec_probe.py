@@ -40,6 +40,15 @@ def timeit(fn, reps=10):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pieces", default="01234",
+                    help="pieces to run, e.g. --pieces 3 (fresh process "
+                         "per piece keeps compile-time HBM accounting of "
+                         "kept executables from accumulating)")
+    args = ap.parse_args()
+
     import bench as benchmod
     from teal_tpu.config import SparsityConfig
     from teal_tpu.engine import speculative as spec
