@@ -25,11 +25,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", type=int, default=0,
                     help="run only stage N (0 = all)")
+    ap.add_argument("--case", default=None,
+                    help="stage-5 case to run alone (sparse-token, "
+                         "dense-via-kernel, sparse-4launch, xla-dense)")
     args = ap.parse_args()
 
     from teal_tpu.ops import quant, block_gemv as bg
 
     def want(n):
+        if args.case:
+            return n == 5
         return args.stage in (0, n)
 
     if want(1):
@@ -89,31 +94,45 @@ def main():
             jnp.int32(1), jnp.int32(10), G=G, cap=20, n_heads=Hq)
         say("4. int4 attn_block:", np.asarray(attn)[0, 0, 0, 0])
 
-    if want(5):
-        # full 7B int4 model forward: dense-capacity then 50%
+    if want(5) or args.case:
+        # full 7B int4 model forward, one case per process (--case; a
+        # failing case poisons the device state for the rest of the
+        # process — round-4 run: XLA-dense died FIRST with
+        # FAILED_PRECONDITION and masked whether the kernel paths work)
         from bench import build
         from teal_tpu.config import SparsityConfig
         from teal_tpu.models import llama
         from teal_tpu.models.llama import KVCache
 
+        cases = {
+            # production path first: int4 decode always routes through
+            # the gather kernel (packed nibbles dequant in-kernel)
+            "sparse-token": SparsityConfig(
+                enabled=True, kernel="block", block_size=128,
+                block_keep_frac=0.5, block_thresholding=True),
+            # dense-capacity through the same kernel (the int4-dense
+            # route bench.py uses — keep_frac 1.0 gathers every group)
+            "dense-via-kernel": SparsityConfig(
+                enabled=True, kernel="block", block_size=128,
+                block_keep_frac=1.0, block_thresholding=True),
+            "sparse-4launch": SparsityConfig(
+                enabled=True, kernel="block", block_size=128,
+                block_keep_frac=0.5, block_thresholding=True,
+                token_fused=False),
+            # plain XLA dequant+matmul — known to die at 7B scale on the
+            # round-3/4 runtime (INTERNAL / FAILED_PRECONDITION)
+            "xla-dense": SparsityConfig(enabled=False),
+        }
+        names = [args.case] if args.case else list(cases)
         cfg, params = build("7B", 256, jnp.bfloat16, weights="int4",
                             block_size=128)
         say("5a. int4 params built")
         tok = jnp.asarray([[5]], jnp.int32)
         th = jnp.zeros((cfg.n_layers, 7), jnp.float32)
-        for name, sp in (
-            ("dense(keep=1)", SparsityConfig(enabled=False)),
-            ("sparse token", SparsityConfig(
-                enabled=True, kernel="block", block_size=128,
-                block_keep_frac=0.5, block_thresholding=True)),
-            ("sparse 4-launch", SparsityConfig(
-                enabled=True, kernel="block", block_size=128,
-                block_keep_frac=0.5, block_thresholding=True,
-                token_fused=False)),
-        ):
+        for name in names:
             cache = KVCache.init(cfg, 1, 256, jnp.bfloat16)
             logits, _ = llama.forward(params, tok, cache, 10, th,
-                                      cfg=cfg, sp=sp)
+                                      cfg=cfg, sp=cases[name])
             say(f"5. int4 forward [{name}]:", np.asarray(logits)[0, 0, :2])
 
 

@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--dump", default="/tmp/spec_loop.hlo")
     ap.add_argument("--step", action="store_true",
                     help="also analyze one bare _spec_step program")
+    ap.add_argument("--shared-cache", action="store_true",
+                    help="analyze the one-cache self-speculation loop")
+    ap.add_argument("--no-cache-out", action="store_true",
+                    help="shared-cache variant that does NOT return the "
+                         "final cache (donation unusable, piece-4 shape)")
     args = ap.parse_args()
 
     from teal_tpu.config import SparsityConfig, get_model_config
@@ -67,12 +72,19 @@ def main():
         fn = spec.build_speculative_loop(
             cfg, cfg, speculate_k=k, max_new_tokens=args.max_new,
             max_seq=args.max_seq, temperature=1.0,
-            target_sp=sp_dense, draft_sp=sp_draft, shared_params=True)
-        return fn(p, p, cache_t, cache_d, token, pos, th_a, th_a, key)
+            target_sp=sp_dense, draft_sp=sp_draft, shared_params=True,
+            shared_cache=args.shared_cache)
+        out = fn(p, p, cache_t, cache_d, token, pos, th_a, th_a, key)
+        if args.no_cache_out:
+            out = out[:4]
+        return out
 
-    log("lowering while_loop program ...")
+    log("lowering while_loop program "
+        f"(shared_cache={args.shared_cache}, "
+        f"no_cache_out={args.no_cache_out}) ...")
     lowered = jax.jit(run_impl).lower(
-        params, cache, cache, tok, pos, th, key)
+        params, cache, None if args.shared_cache else cache, tok, pos,
+        th, key)
     log("compiling (AOT, chipless) ...")
     compiled = lowered.compile()
     ca = compiled.cost_analysis()

@@ -75,11 +75,12 @@ def main():
     rows = []
 
     def run_row(name, draft_cfg, draft_params, draft_sp, k, temperature,
-                draft_th=None):
+                draft_th=None, shared_cache=None):
         kw = dict(
             speculate_k=k, temperature=temperature, max_seq=args.max_seq,
             target_sp=SparsityConfig(enabled=False), draft_sp=draft_sp,
             draft_thresholds=draft_th, cache_dtype=dtype, device_loop=True,
+            shared_cache=shared_cache,
         )
         # compile + warm
         t0 = time.time()
@@ -117,13 +118,21 @@ def main():
             f"({tps/dense:.2f}x), t_round {t_round*1e3:.1f} ms, "
             f"alpha {alpha:.2f}")
 
-    # --- self-speculation: sparse draft of the same weights ---
-    for keep, k in ((0.5, 4), (0.25, 4), (0.25, 8)):
+    # --- self-speculation: sparse draft of the same weights, ONE shared
+    # cache (draft writes sparse in-round kv; dense verify overwrites —
+    # no draft top-up forward, half the cache HBM) ---
+    for keep, k in ((0.5, 4), (0.5, 6), (0.5, 8), (0.25, 4), (0.25, 8)):
         sp_draft = SparsityConfig(
             enabled=True, kernel="block", block_size=128,
             block_keep_frac=keep, block_thresholding=True)
-        run_row(f"self_spec_keep{int(keep*100)}", cfg, params, sp_draft,
-                k, 1.0, draft_th=llama.zero_thresholds(cfg))
+        run_row(f"self_spec_keep{int(keep*100)}_k{k}", cfg, params,
+                sp_draft, k, 1.0, draft_th=llama.zero_thresholds(cfg))
+    # classic two-cache design for comparison (the reference's cache
+    # topology, gpt-fast/generate.py:133-137)
+    sp_draft = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                              block_keep_frac=0.5, block_thresholding=True)
+    run_row("self_spec_keep50_k4_twocache", cfg, params, sp_draft, 4, 1.0,
+            draft_th=llama.zero_thresholds(cfg), shared_cache=False)
     # temp-0 row: acceptance = argmax agreement (deflated on random
     # weights; exactness is what matters — tests prove output == greedy)
     sp_draft = SparsityConfig(enabled=True, kernel="block", block_size=128,

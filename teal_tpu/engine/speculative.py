@@ -30,6 +30,24 @@ sampling guarantees the output distribution equals dense decoding
 exactly, so this converts TEAL sparsity into a LOSSLESS speedup whose
 magnitude scales with the sparse/dense agreement rate — no perplexity
 delta at any sparsity (tests/test_speculative.py exactness tests).
+
+Shared-cache self-speculation (`shared_cache=True`, the default when
+params are shared): draft and target use ONE KV cache. The draft scan
+writes its (sparse-forward) kv entries at pos..pos+k-1 into the shared
+cache; the dense verify then overwrites pos..pos+k with exact kv.
+Consequences, all favorable:
+  - the k-th draft top-up forward disappears (the reference tops up the
+    separate draft cache, `gpt-fast/generate.py:133-137`; with one cache
+    the verify itself leaves every needed slot dense-exact), cutting
+    t_round from (k+2) to (k+1) forward passes;
+  - HBM halves (one cache), which is what admits max_seq 2048 on a
+    16 GB chip next to 13.5 GB of bf16 weights;
+  - the draft conditions on EXACT history (all kv < pos comes from
+    earlier dense verifies), so acceptance can only improve vs a
+    sparse-history draft cache.
+Exactness is untouched: speculative sampling is distribution-correct
+for ANY draft process, and `p` is still the draft's actual sampling
+distribution.
 """
 
 from __future__ import annotations
@@ -53,11 +71,20 @@ def _sample_probs(key, probs):
 
 def _spec_step(pt, pd, cache_t, cache_d, token, pos, th_t, th_d, key, *,
                k, temperature, top_k, target_cfg, draft_cfg, target_sp,
-               draft_sp):
+               draft_sp, shared_cache=False):
     """One draft-propose / target-verify round (traced; shared by the
     host-loop step and the on-device while_loop program).
 
+    shared_cache (static): self-speculation on ONE cache — `cache_d`
+    must be None; the draft writes in-round kv into `cache_t` and the
+    dense verify overwrites those slots (module docstring). Returns
+    cache_d=None in that mode.
+
     Returns (tokens [k+1], n_valid, cache_t, cache_d, key)."""
+    if shared_cache:
+        assert cache_d is None, "shared_cache: pass cache_d=None"
+        cache_d = cache_t
+
     # --- draft: k sequential tokens ---
     def dbody(carry, i):
         tok, cache_d, key = carry
@@ -75,9 +102,12 @@ def _spec_step(pt, pd, cache_t, cache_d, token, pos, th_t, th_d, key, *,
     )
 
     # --- target: verify in one forward over k+1 positions ---
+    # (shared_cache: runs on the draft-updated cache and overwrites
+    # pos..pos+k with exact dense kv)
     seq = jnp.concatenate([token, dtoks])[None, :]          # [1, k+1]
     tlogits, cache_t = llama.forward(
-        pt, seq, cache_t, pos, th_t, cfg=target_cfg, sp=target_sp,
+        pt, seq, cache_d if shared_cache else cache_t, pos, th_t,
+        cfg=target_cfg, sp=target_sp,
     )
     tprobs = logits_to_probs(tlogits[0], temperature, top_k)  # [k+1, V]
 
@@ -97,11 +127,16 @@ def _spec_step(pt, pd, cache_t, cache_d, token, pos, th_t, th_d, key, *,
     residual = residual / jnp.maximum(residual.sum(), 1e-30)
     next_token = _sample_probs(kres, residual).astype(jnp.int32)
 
-    # top up the draft cache with its own last token (reference :133-137)
-    _, cache_d = llama.forward(
-        pd, dtoks[-1][None, None], cache_d, pos + k, th_d,
-        cfg=draft_cfg, sp=draft_sp,
-    )
+    if shared_cache:
+        # no top-up: the verify just wrote dense kv at pos..pos+k, which
+        # covers every position the next round can start from
+        cache_d = None
+    else:
+        # top up the draft cache with its own last token (ref :133-137)
+        _, cache_d = llama.forward(
+            pd, dtoks[-1][None, None], cache_d, pos + k, th_d,
+            cfg=draft_cfg, sp=draft_sp,
+        )
 
     idx = jnp.arange(k + 1)
     out = jnp.where(idx < acc_len,
@@ -120,18 +155,36 @@ def build_speculative_step(
     target_sp: SparsityConfig = SparsityConfig(),
     draft_sp: SparsityConfig = SparsityConfig(),
     shared_params: bool = False,
+    shared_cache: bool = False,
 ):
     """Returns a jitted step:
     (pt, pd, cache_t, cache_d, token[1], pos, th_t, th_d, key)
       -> (tokens[k+1], n_valid, cache_t, cache_d, key)
 
     shared_params: see build_speculative_loop — avoids double-counting
-    the weights at AOT compile when draft and target share buffers."""
+    the weights at AOT compile when draft and target share buffers.
+    shared_cache (requires shared_params): ONE cache for draft+target
+    (module docstring); the caller's cache_d is ignored and the returned
+    cache_d is the same array as cache_t."""
     step = functools.partial(
         _spec_step, k=speculate_k, temperature=temperature, top_k=top_k,
         target_cfg=target_cfg, draft_cfg=draft_cfg, target_sp=target_sp,
         draft_sp=draft_sp,
     )
+    if shared_cache:
+        assert shared_params, "shared_cache requires shared params"
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def one_cache(p, cache, *rest):
+            toks, n, c, _, key = step(p, p, cache, None, *rest,
+                                      shared_cache=True)
+            return toks, n, c, key
+
+        def wrapped(pt, pd, cache_t, cache_d, *rest):
+            toks, n, c, key = one_cache(pt, cache_t, *rest)
+            return toks, n, c, c, key
+
+        return wrapped
     if shared_params:
         shared = jax.jit(
             lambda p, cache_t, cache_d, *rest:
@@ -153,6 +206,7 @@ def build_speculative_loop(
     target_sp: SparsityConfig = SparsityConfig(),
     draft_sp: SparsityConfig = SparsityConfig(),
     shared_params: bool = False,
+    shared_cache: bool = False,
 ):
     """The WHOLE generation loop as one jitted on-device program
     (`lax.while_loop` over speculative rounds; accepted tokens written at
@@ -162,7 +216,10 @@ def build_speculative_loop(
 
     Returns a jitted fn:
     (pt, pd, cache_t, cache_d, token[1], pos, th_t, th_d, key)
-      -> (out_buf [max_new + k], n_out, n_rounds, pos_final)
+      -> (out_buf [max_new + k], n_out, n_rounds, pos_final, *caches)
+    The trailing caches exist so the donated inputs can alias program
+    outputs (XLA refuses the donation otherwise and copies the cache at
+    entry); callers normally drop them.
 
     shared_params=True (self-speculation: the draft IS the target's
     weights, read at a sparser threshold schedule) drops `pd` from the
@@ -170,8 +227,12 @@ def build_speculative_loop(
     this, AOT compile accounts the two param pytrees separately even
     when the caller passes the same buffers — a 13.5 GB bf16 7B gets
     double-counted and a 16 GB chip OOMs at compile.
+    shared_cache=True (requires shared_params): ONE cache for both roles
+    (module docstring) — cache_d is dropped from the program too.
     """
     k = speculate_k
+    if shared_cache:
+        assert shared_params, "shared_cache requires shared params"
 
     def run_impl(pt, pd, cache_t, cache_d, token, pos, th_t, th_d, key):
         out_buf = jnp.zeros((max_new_tokens + k,), jnp.int32)
@@ -188,6 +249,7 @@ def build_speculative_loop(
                 k=k, temperature=temperature, top_k=top_k,
                 target_cfg=target_cfg, draft_cfg=draft_cfg,
                 target_sp=target_sp, draft_sp=draft_sp,
+                shared_cache=shared_cache,
             )
             # write the k+1 candidate slots at the current offset; slots
             # past n_valid are overwritten by the next round (or sliced
@@ -197,13 +259,23 @@ def build_speculative_loop(
             return (n_out + n_valid, pos + n_valid, out_buf, token,
                     cache_t, cache_d, key, rounds + 1)
 
-        n_out, pos, out_buf, _, _, _, _, rounds = jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(0), pos, out_buf, token, cache_t, cache_d, key,
-             jnp.int32(0)),
-        )
-        return out_buf, n_out, rounds, pos
+        n_out, pos, out_buf, _, cache_t, cache_d, _, rounds = \
+            jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), pos, out_buf, token, cache_t, cache_d, key,
+                 jnp.int32(0)),
+            )
+        return out_buf, n_out, rounds, pos, cache_t, cache_d
 
+    if shared_cache:
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def one_cache(p, cache, token, pos, th_t, th_d, key):
+            *out, cache_t, _ = run_impl(p, p, cache, None, token, pos,
+                                        th_t, th_d, key)
+            return (*out, cache_t)
+
+        return lambda pt, pd, cache_t, cache_d, *rest: \
+            one_cache(pt, cache_t, *rest)
     if shared_params:
         shared = jax.jit(
             lambda p, cache_t, cache_d, token, pos, th_t, th_d, key:
@@ -230,14 +302,23 @@ def speculative_generate(
     key=None,
     cache_dtype=jnp.bfloat16,
     device_loop: bool = False,
+    shared_cache: Optional[bool] = None,
 ) -> Tuple[np.ndarray, dict]:
     """Returns (all tokens [T+new], stats).
 
     device_loop=False: host loop (one sync per round; interactive use).
     device_loop=True: the whole generation is one on-device while_loop
-    program with a single host sync (build_speculative_loop)."""
+    program with a single host sync (build_speculative_loop).
+    shared_cache: one KV cache for draft+target (module docstring);
+    default: on exactly when the params are shared (self-speculation)."""
     if key is None:
         key = jax.random.PRNGKey(0)
+    shared_params = target_params is draft_params
+    if shared_cache is None:
+        shared_cache = shared_params
+    if shared_cache and not shared_params:
+        raise ValueError("shared_cache requires target_params is "
+                         "draft_params (self-speculation)")
     th_t = (target_thresholds if target_thresholds is not None
             else llama.zero_thresholds(target_cfg))
     th_d = (draft_thresholds if draft_thresholds is not None
@@ -247,9 +328,9 @@ def speculative_generate(
     t = prompt.shape[1]
 
     cache_t = KVCache.init(target_cfg, 1, max_seq, cache_dtype)
-    cache_d = KVCache.init(draft_cfg, 1, max_seq, cache_dtype)
 
-    # prefill both models on the prompt
+    # prefill on the prompt (shared cache: one dense prefill serves both
+    # roles — the draft conditions on exact history anyway)
     key, kp = jax.random.split(key)
     logits, cache_t = llama.forward(
         target_params, prompt, cache_t, 0, th_t,
@@ -258,10 +339,14 @@ def speculative_generate(
     probs = logits_to_probs(logits[0, -1], temperature, top_k)
     cur = jax.random.categorical(
         kp, jnp.log(probs + 1e-30))[None].astype(jnp.int32)
-    _, cache_d = llama.forward(
-        draft_params, prompt, cache_d, 0, th_d,
-        cfg=draft_cfg, sp=draft_sp,
-    )
+    if shared_cache:
+        cache_d = None
+    else:
+        cache_d = KVCache.init(draft_cfg, 1, max_seq, cache_dtype)
+        _, cache_d = llama.forward(
+            draft_params, prompt, cache_d, 0, th_d,
+            cfg=draft_cfg, sp=draft_sp,
+        )
 
     if device_loop:
         run = build_speculative_loop(
@@ -269,9 +354,9 @@ def speculative_generate(
             max_new_tokens=max_new_tokens - 1, max_seq=max_seq,
             temperature=temperature, top_k=top_k,
             target_sp=target_sp, draft_sp=draft_sp,
-            shared_params=target_params is draft_params,
+            shared_params=shared_params, shared_cache=shared_cache,
         )
-        out_buf, n_out, rounds, _ = run(
+        out_buf, n_out, rounds, _, *_ = run(
             target_params, draft_params, cache_t, cache_d, cur, t,
             th_t, th_d, key,
         )
@@ -295,7 +380,7 @@ def speculative_generate(
         target_cfg, draft_cfg, speculate_k=speculate_k,
         temperature=temperature, top_k=top_k,
         target_sp=target_sp, draft_sp=draft_sp,
-        shared_params=target_params is draft_params,
+        shared_params=shared_params, shared_cache=shared_cache,
     )
 
     out = [int(np.asarray(cur)[0])]

@@ -103,6 +103,45 @@ def test_self_speculative_lossless_greedy(tiny):
         np.testing.assert_array_equal(ref[0][:3 + 12], toks[:3 + 12])
 
 
+def test_shared_vs_separate_cache_both_lossless(tiny):
+    """The shared-cache self-speculation design (one KV cache: draft
+    writes sparse in-round kv, verify overwrites densely — no top-up
+    forward) and the classic two-cache design must BOTH reproduce dense
+    greedy output exactly. The designs differ in the draft's history
+    conditioning, so accepted counts may differ; the output may not."""
+    cfg, params = tiny
+    from teal_tpu.config import SparsityConfig
+
+    prompt = np.array([2, 9, 4, 1])
+    gen = Generator(cfg, params, max_seq=64, temperature=0.0)
+    ref, _ = gen.generate(prompt, 12)
+
+    draft_sp = SparsityConfig(enabled=True)
+    th = jnp.full((cfg.n_layers, 7), 0.06, jnp.float32)
+    for shared_cache in (True, False):
+        for device_loop in (False, True):
+            toks, _ = speculative_generate(
+                params, params, cfg, cfg, prompt, 12,
+                speculate_k=4, temperature=0.0, max_seq=64,
+                cache_dtype=jnp.float32, draft_sp=draft_sp,
+                draft_thresholds=th, key=jax.random.PRNGKey(5),
+                device_loop=device_loop, shared_cache=shared_cache,
+            )
+            np.testing.assert_array_equal(ref[0][:4 + 12], toks[:4 + 12])
+
+
+def test_shared_cache_requires_shared_params(tiny):
+    cfg, params = tiny
+    draft_params = llama.init_params(cfg, jax.random.PRNGKey(1),
+                                     jnp.float32)
+    with pytest.raises(ValueError, match="shared_cache"):
+        speculative_generate(
+            params, draft_params, cfg, cfg, [1, 2], 4,
+            speculate_k=2, max_seq=64, cache_dtype=jnp.float32,
+            shared_cache=True,
+        )
+
+
 def test_speculative_with_sparse_target(tiny):
     """Speculative decoding composes with activation sparsity on the
     target model (masked-dense accuracy path)."""
