@@ -159,6 +159,51 @@ def main():
         log(f"4. while_loop t_round:       {t4*1e3:7.2f} ms "
             f"(rounds {r_a} -> {r_b})")
 
+    # 5. kernel-dense verify (llama.block_verify) slope: the shared-cache
+    # self-speculation's verify cost in isolation
+    if "5" in pieces:
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def bv_n(p, c, n):
+            seq = jnp.ones((1, k + 1), jnp.int32)
+
+            def body(i, carry):
+                s, c = carry
+                logits, c = llama.block_verify(p, s, c, pos0, th, cfg=cfg)
+                return (jnp.argmax(logits, -1).astype(jnp.int32), c)
+            return jax.lax.fori_loop(0, n, body, (seq, c))[0]
+
+        cache = KVCache.init(cfg, 1, max_seq, jnp.bfloat16)
+        t_lo = timeit(lambda: jax.device_get(bv_n(params, cache, n_lo)))
+        t_hi = timeit(lambda: jax.device_get(bv_n(params, cache, n_hi)))
+        t5 = (t_hi - t_lo) / (n_hi - n_lo)
+        log(f"5. kernel verify (k+1={k+1}):  {t5*1e3:7.2f} ms")
+
+    # 6. shared-cache while_loop t_round (kernel verify inside)
+    if "6" in pieces:
+        def loop_run_shared(max_new):
+            loop = spec.build_speculative_loop(
+                cfg, cfg, speculate_k=k, max_new_tokens=max_new,
+                max_seq=max_seq, temperature=1.0,
+                target_sp=sp_dense, draft_sp=sp_draft,
+                shared_params=True, shared_cache=True)
+
+            def go():
+                out = loop(params, params,
+                           KVCache.init(cfg, 1, max_seq, jnp.bfloat16),
+                           None, jnp.asarray([3], jnp.int32), pos0,
+                           th, th, key)
+                n_out, rounds = jax.device_get((out[1], out[2]))
+                return int(rounds)
+            go()
+            t = timeit(go, reps=6)
+            return t, go()
+
+        t_a, r_a = loop_run_shared(k)
+        t_b, r_b = loop_run_shared(8 * k)
+        t6 = (t_b - t_a) / max(r_b - r_a, 1)
+        log(f"6. shared-cache t_round:     {t6*1e3:7.2f} ms "
+            f"(rounds {r_a} -> {r_b})")
+
 
 if __name__ == "__main__":
     main()

@@ -295,6 +295,97 @@ def fixed_selection_diag():
     _fwd(params, cfg, _sp(debug_fixed_selection=True))
 
 
+@variant
+def block_verify_rows():
+    """Kernel-dense verify (S=4 positions of ONE sequence as token-kernel
+    sublane rows, seq_block) vs the XLA dense s=4 forward."""
+    from teal_tpu.config import SparsityConfig
+    from teal_tpu.models import llama
+    from teal_tpu.models.llama import KVCache
+
+    cfg, params = _tiny(seed=9)
+    th = llama.zero_thresholds(cfg)
+    assert llama.can_block_verify(params, cfg, 4)
+    for p in (0, 7):
+        cache = KVCache.init(cfg, 1, 16, jnp.float32)
+        cache = KVCache(
+            k=jax.random.normal(jax.random.PRNGKey(p), cache.k.shape,
+                                jnp.float32) * 0.1,
+            v=jax.random.normal(jax.random.PRNGKey(p + 1), cache.v.shape,
+                                jnp.float32) * 0.1)
+        toks = jnp.asarray([[3, 9, 11, 2]], jnp.int32)
+        got, cg = llama.block_verify(params, toks, cache, p, th, cfg=cfg)
+        ref, cr = llama.forward(params, toks, cache, p, th, cfg=cfg,
+                                sp=SparsityConfig(enabled=False))
+        _close(got, ref, 2e-3, f"block_verify pos={p}")
+        np.testing.assert_allclose(np.asarray(jax.device_get(cg.k)),
+                                   np.asarray(jax.device_get(cr.k)),
+                                   rtol=1e-2, atol=2e-3)
+
+
+@variant
+def token_kernel_b16():
+    """B=12 (> 8): two token-kernel launches at a static cache_offset
+    vs two separate batched forwards on the cache halves."""
+    from teal_tpu.models.llama import KVCache
+
+    cfg, params = _tiny(seed=22)
+    sp = _sp()
+    got, cg = _fwd(params, cfg, sp, B=8)
+    # reuse _fwd's cache/tok conventions for a manual 12-row check
+    from teal_tpu.models import llama
+
+    B = 12
+    th = (0.01 + 0.02 * jnp.arange(cfg.n_layers * 7, dtype=jnp.float32)
+          .reshape(cfg.n_layers, 7) / (cfg.n_layers * 7))
+    cache = KVCache.init(cfg, B, 16, jnp.float32)
+    cache = KVCache(
+        k=jax.random.normal(jax.random.PRNGKey(43), cache.k.shape,
+                            jnp.float32) * 0.1,
+        v=jax.random.normal(jax.random.PRNGKey(44), cache.v.shape,
+                            jnp.float32) * 0.1)
+    tok = (jnp.arange(B, dtype=jnp.int32)[:, None] * 31 + 3) % 97
+    pos = jnp.asarray([2, 9, 14, 5, 7, 11, 1, 12, 3, 8, 13, 6], jnp.int32)
+    got, cg = llama.forward(params, tok, cache, pos, th, cfg=cfg, sp=sp)
+    refs = []
+    for lo in (0, 8):
+        hi = min(lo + 8, B)
+        sub = KVCache(k=cache.k[:, lo:hi], v=cache.v[:, lo:hi])
+        r, _ = llama.forward(params, tok[lo:hi], sub, pos[lo:hi], th,
+                             cfg=cfg, sp=sp)
+        refs.append(np.asarray(jax.device_get(r)))
+    _close(np.asarray(jax.device_get(got)), np.concatenate(refs, 0),
+           2e-3, "b16 two-launch")
+
+
+@variant
+def spec_step_program():
+    """One jitted shared-cache _spec_step (sparse draft scan + kernel
+    verify + acceptance) lowers and runs — the speculative while-loop
+    body's exact program, which no kernel-level variant covers."""
+    from teal_tpu.config import SparsityConfig
+    from teal_tpu.engine import speculative as spec
+    from teal_tpu.models import llama
+    from teal_tpu.models.llama import KVCache
+
+    cfg, params = _tiny(seed=13)
+    draft_sp = SparsityConfig(enabled=True, kernel="block",
+                              block_size=128, block_keep_frac=0.5,
+                              block_thresholding=True)
+    step = spec.build_speculative_step(
+        cfg, cfg, speculate_k=3, temperature=1.0,
+        target_sp=SparsityConfig(enabled=False), draft_sp=draft_sp,
+        shared_params=True, shared_cache=True)
+    th = llama.zero_thresholds(cfg)
+    cache = KVCache.init(cfg, 1, 16, jnp.float32)
+    toks, n, c, _, _ = step(params, params, cache, None,
+                            jnp.asarray([3], jnp.int32), 4, th, th,
+                            jax.random.PRNGKey(0))
+    toks = np.asarray(jax.device_get(toks))
+    nv = int(jax.device_get(n))
+    assert 1 <= nv <= 4 and np.all(toks >= 0), (nv, toks)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-k", default="", help="run only variants whose name "

@@ -105,10 +105,21 @@ def _spec_step(pt, pd, cache_t, cache_d, token, pos, th_t, th_d, key, *,
     # (shared_cache: runs on the draft-updated cache and overwrites
     # pos..pos+k with exact dense kv)
     seq = jnp.concatenate([token, dtoks])[None, :]          # [1, k+1]
-    tlogits, cache_t = llama.forward(
-        pt, seq, cache_d if shared_cache else cache_t, pos, th_t,
-        cfg=target_cfg, sp=target_sp,
-    )
+    if (shared_cache and not target_sp.enabled
+            and llama.can_block_verify(pt, target_cfg, k + 1)):
+        # dense verify through the batched token kernel (the k+1
+        # positions ride the MXU sublane rows): weights stream once at
+        # gather-kernel speed in their NATURAL layout — an XLA-dense
+        # s=k+1 forward in this while_loop makes layout assignment
+        # pre-transpose the stacked q/k/v stacks (+3 GB at 7B, chip OOM;
+        # experiments/spec_hlo_probe.py --shared-cache)
+        tlogits, cache_t = llama.block_verify(
+            pt, seq, cache_d, pos, th_t, cfg=target_cfg)
+    else:
+        tlogits, cache_t = llama.forward(
+            pt, seq, cache_d if shared_cache else cache_t, pos, th_t,
+            cfg=target_cfg, sp=target_sp,
+        )
     tprobs = logits_to_probs(tlogits[0], temperature, top_k)  # [k+1, V]
 
     p = dprobs[jnp.arange(k), dtoks]                         # draft

@@ -174,7 +174,7 @@ def _can_fused_decode(s: int, b: int, cfg: ModelConfig, max_seq: int,
     path is their best measured config (95.05 vs 94.66 tok/s at 50%)."""
     if sp.fused_decode_attention is False:
         return False
-    ok = (s == 1 and b <= 8 and cfg.head_dim == 128 and max_seq % 8 == 0
+    ok = (s == 1 and b <= 16 and cfg.head_dim == 128 and max_seq % 8 == 0
           and cfg.n_heads % cfg.n_kv_heads == 0)
     if not ok:
         return False
@@ -525,9 +525,11 @@ def _can_packed_pipeline(params, cfg: ModelConfig, sp: SparsityConfig,
     stage writers; the 4-launch pipeline has no scale fold."""
     if sp.packed_pipeline is False or not fused_attn:
         return False
-    # b > 1 (up to the 8 MXU lhs rows) is served ONLY by the whole-token
-    # kernel (batched attn_stage); the 4-launch pipeline is batch-1
-    ok_b = b == 1 or (b <= 8 and sp.token_fused is not False)
+    # b > 1 is served ONLY by the whole-token kernel (batched
+    # attn_stage): b <= 8 rides the MXU lhs sublane rows in one launch,
+    # b <= 16 runs two launches at a static cache_offset; the 4-launch
+    # pipeline is batch-1
+    ok_b = b == 1 or (b <= 16 and sp.token_fused is not False)
     if not (s == 1 and ok_b and packed_norms is not None
             and cfg.head_dim == 128
             and cfg.dim % 128 == 0 and cfg.intermediate_size % 128 == 0):
@@ -618,7 +620,7 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
     # packed rms_norm gains for the in-kernel norm fold (threshold-mode
     # block decode): built ONCE here, outside the layer scan
     packed_norms = None
-    if (s == 1 and b <= 8 and sp.enabled and sp.kernel == "block"
+    if (s == 1 and b <= 16 and sp.enabled and sp.kernel == "block"
             and sp.block_thresholding and cfg.dim % 128 == 0):
         from teal_tpu.ops import block_gemv
 
@@ -650,15 +652,11 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
         if sp.token_fused is not False:
             # whole-token kernel: ONE Pallas launch for the entire layer
             # stack (grid over layers; ops/token_block.py); batched
-            # decode (b <= 8) rides the MXU lhs sublane rows
+            # decode (b <= 8) rides the MXU lhs sublane rows; b <= 16
+            # runs TWO launches (slots 0-7 / 8-15, one pooled selection
+            # each) against the same cache via a static cache_offset
             from teal_tpu.ops import token_block
 
-            if b == 1:
-                h3 = _bg.pack_x3(h.reshape(1, cfg.dim), 128)
-                cs_cos, cs_sin = cos[0, 0], sin[0, 0]
-            else:
-                h3 = _bg.pack_x3_rows(h.reshape(b, cfg.dim), 128)
-                cs_cos, cs_sin = cos[:, 0], sin[:, 0]
             cap_ = _block_capacity
             lay = params["layers"]
             moe_kw = {}
@@ -672,23 +670,41 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
                               n_experts_per_tok=cfg.n_experts_per_tok)
                 gu_cap, dn_cap = (cfg.dim // 128,
                                   cfg.intermediate_size // 128)
-            h3, kc, vc = token_block.token_decode(
-                h3, thresholds,
-                (lay["wq"], lay["wk"], lay["wv"], lay["wo"],
-                 lay["wgate"], lay["wup"], lay["wdown"]),
-                packed_norms["attn"], packed_norms["mlp"],
-                cs_cos, cs_sin, cache.k, cache.v, pos,
+            td_kw = dict(
                 caps=(cap_(cfg.dim, kf[0]), cap_(cfg.dim, kf[3]),
                       gu_cap, dn_cap),
                 n_heads=cfg.n_heads, norm_eps=cfg.norm_eps,
                 window=cfg.sliding_window,
-                fixed_sel=sp.debug_fixed_selection, batch=b,
+                fixed_sel=sp.debug_fixed_selection,
                 **moe_kw,
             )
+            ws7 = (lay["wq"], lay["wk"], lay["wv"], lay["wo"],
+                   lay["wgate"], lay["wup"], lay["wdown"])
             if b == 1:
+                h3 = _bg.pack_x3(h.reshape(1, cfg.dim), 128)
+                h3, kc, vc = token_block.token_decode(
+                    h3, thresholds, ws7,
+                    packed_norms["attn"], packed_norms["mlp"],
+                    cos[0, 0], sin[0, 0], cache.k, cache.v, pos,
+                    batch=1, **td_kw)
                 h = h3.reshape(1, 1, cfg.dim)
             else:
-                h = jnp.swapaxes(h3[:, :b, :], 0, 1).reshape(b, 1, cfg.dim)
+                h2 = h.reshape(b, cfg.dim)
+                cs_cos, cs_sin = cos[:, 0], sin[:, 0]
+                kc, vc = cache.k, cache.v
+                hs = []
+                for off in range(0, b, 8):
+                    bb = min(8, b - off)
+                    h3g = _bg.pack_x3_rows(h2[off:off + bb], 128)
+                    h3g, kc, vc = token_block.token_decode(
+                        h3g, thresholds, ws7,
+                        packed_norms["attn"], packed_norms["mlp"],
+                        cs_cos[off:off + bb], cs_sin[off:off + bb],
+                        kc, vc, pos[off:off + bb],
+                        batch=bb, cache_offset=off, **td_kw)
+                    hs.append(jnp.swapaxes(h3g[:, :bb, :], 0, 1)
+                              .reshape(bb, 1, cfg.dim))
+                h = jnp.concatenate(hs, 0) if len(hs) > 1 else hs[0]
             h = rms_norm(h, params["final_norm"], cfg.norm_eps)
             if return_hidden:
                 return h, KVCache(kc, vc)
@@ -755,6 +771,88 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
     h = rms_norm(h, params["final_norm"], cfg.norm_eps)
     if return_hidden:
         return h, KVCache(kc, vc)
+    return _lm_head(params, h), KVCache(kc, vc)
+
+
+def can_block_verify(params, cfg: ModelConfig, s: int) -> bool:
+    """Static gate for `block_verify` (shapes/dtypes only)."""
+    lay = params["layers"]
+    if not (1 < s <= 8 and cfg.n_experts == 0 and cfg.head_dim == 128
+            and cfg.dim % 128 == 0 and cfg.intermediate_size % 128 == 0):
+        return False
+    if isinstance(lay["wq"], dict) and "zero" in lay["wq"]:
+        return False   # unpacked int4: XLA dequant path only
+    if isinstance(lay["wq"], dict) and "q" in lay["wq"]:
+        if not all(isinstance(lay[n], dict) and "q" in lay[n]
+                   and "zero" not in lay[n]
+                   for n in ("wk", "wv", "wo", "wgate", "wup", "wdown")):
+            return False
+    from teal_tpu.ops import block_gemv as bg
+
+    gs = (
+        bg._shared_group_size([lay["wq"], lay["wk"], lay["wv"]],
+                              128, cfg.dim),
+        bg._shared_group_size([lay["wo"]], 128, cfg.dim),
+        bg._shared_group_size([lay["wgate"], lay["wup"]], 128, cfg.dim),
+        bg._shared_group_size([lay["wdown"]], 128,
+                              cfg.intermediate_size),
+    )
+    return all(g == 128 for g in gs)
+
+
+def block_verify(params, tokens, cache: KVCache, pos, thresholds, *,
+                 cfg: ModelConfig):
+    """DENSE forward over S (2..8) consecutive positions of ONE sequence
+    through the batched whole-token kernel: the S positions ride the MXU
+    sublane rows (`ops/token_block.token_decode(seq_block=True)`),
+    weights stream ONCE at full capacity through the gather pipeline
+    (identity selection), and the cache receives the exact dense kv at
+    pos..pos+S-1 — the whole layer stack in one Pallas launch.
+
+    Built for shared-cache self-speculation (`engine/speculative.py`):
+    an XLA-dense s=k+1 forward inside the speculative while_loop makes
+    layout assignment pre-transpose the stacked q/k/v weights ({1,2,0}
+    copies, +3 GB at 7B — OOM on one 16 GB chip, see
+    experiments/spec_hlo_probe.py --shared-cache). Routing the verify
+    through the token kernel pins the natural weight layout everywhere
+    and reads weights at gather-kernel speed. The same rows mechanism
+    serves chunk-of-8 prefill.
+
+    tokens: [1, S] int32; pos: scalar int32. Gate with
+    `can_block_verify`. Returns (logits [1, S, V] fp32, new KVCache).
+    """
+    from teal_tpu.ops import block_gemv as _bg
+    from teal_tpu.ops import token_block
+
+    b, s = tokens.shape
+    assert b == 1 and 1 < s <= 8, (b, s)
+    lay = params["layers"]
+    dt = compute_dtype(params)
+    h = params["embed"][tokens[0]].astype(dt)               # [S, dim]
+    h3 = _bg.pack_x3_rows(h, 128)
+    cos_full, sin_full = precompute_rope(cfg, cache.max_seq)
+    positions = jnp.asarray(pos, jnp.int32).reshape(()) + jnp.arange(s)
+    g_attn = _bg._shared_group_size([lay["wq"], lay["wk"], lay["wv"]],
+                                    128, cfg.dim)
+    g_mlp = _bg._shared_group_size([lay["wgate"], lay["wup"]],
+                                   128, cfg.dim)
+    packed_norms = {"attn": _bg.pack_norm3(lay["attn_norm"], g_attn),
+                    "mlp": _bg.pack_norm3(lay["mlp_norm"], g_mlp)}
+    h3, kc, vc = token_block.token_decode(
+        h3, thresholds,
+        (lay["wq"], lay["wk"], lay["wv"], lay["wo"],
+         lay["wgate"], lay["wup"], lay["wdown"]),
+        packed_norms["attn"], packed_norms["mlp"],
+        cos_full[positions], sin_full[positions],
+        cache.k, cache.v, positions,
+        caps=(cfg.dim // 128, cfg.dim // 128, cfg.dim // 128,
+              cfg.intermediate_size // 128),
+        n_heads=cfg.n_heads, norm_eps=cfg.norm_eps,
+        window=cfg.sliding_window,
+        fixed_sel=True, batch=s, seq_block=True,
+    )
+    h = jnp.swapaxes(h3[:, :s, :], 0, 1).reshape(1, s, cfg.dim)
+    h = rms_norm(h, params["final_norm"], cfg.norm_eps)
     return _lm_head(params, h), KVCache(kc, vc)
 
 

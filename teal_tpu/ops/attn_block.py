@@ -93,7 +93,8 @@ def attn_stage(thr, layer_ref, pos_bs, x3_ref, cs_ref, norm_ref,
                w_ref_groups, kc_ref, vc_ref, o_ref, *, G: int, plans,
                nb: int, cap: int, depth: int, norm_eps: float, Hq: int,
                Hkv: int, T: int, D: int, C: int, window: Optional[int],
-               scale: float, fixed_sel: bool = False, scale_ref=None):
+               scale: float, fixed_sel: bool = False, scale_ref=None,
+               cache_rows=None):
     """The whole attention block as an in-kernel stage: (folded norm +)
     pooled selection + QKV gather + per-sequence RoPE / in-place cache
     write / attention. Called by `_attn_block_kernel` (one launch per
@@ -110,8 +111,18 @@ def attn_stage(thr, layer_ref, pos_bs, x3_ref, cs_ref, norm_ref,
     `scale_ref` (int8 weight-only mode): packed per-out-channel q/k/v
     scales aligned with the accumulator's 128-lane column tiles
     (stacked [L*nbp, 128] f32); applied to the fp32 accumulator BEFORE
-    RoPE — equivalent to dequantizing the weights."""
+    RoPE — equivalent to dequantizing the weights.
+
+    `cache_rows` (static, default range(B)): which cache batch row each
+    slot reads/writes. `(0,)*B` turns the batch into B CONSECUTIVE
+    positions of ONE sequence (the speculative-verify block / chunked
+    prefill shape): slots run in order, each slot's cache write lands
+    before the next slot's reads start (the per-slot read DMAs only
+    begin after the previous slot's write-back completes), so slot i
+    attends to slots < i through the cache plus itself via the
+    current-token fix-up."""
     B = len(pos_bs)
+    cbs = tuple(range(B)) if cache_rows is None else tuple(cache_rows)
     norm = norm_ref is not None
     offs = [0]
     for p in plans:
@@ -135,14 +146,15 @@ def attn_stage(thr, layer_ref, pos_bs, x3_ref, cs_ref, norm_ref,
         if C == T:
             kb, vb, kpb, vpb, sem, psem, wsem = rest
         else:
-            kb, vb, kpb, vpb, m_ref, d_ref, a_ref, sem, psem, wsem = rest
+            (kb, vb, kpb, vpb, m_ref, d_ref, a_ref, qh_s, sem, psem,
+             wsem) = rest
 
         def start_chunk(b, ci, slot):
             pltpu.make_async_copy(
-                kc_ref.at[li, b, :, pl.ds(ci * C, C)],
+                kc_ref.at[li, cbs[b], :, pl.ds(ci * C, C)],
                 kb.at[pl.ds(slot * Hkv, Hkv)], sem.at[slot, 0]).start()
             pltpu.make_async_copy(
-                vc_ref.at[li, b, :, pl.ds(ci * C, C)],
+                vc_ref.at[li, cbs[b], :, pl.ds(ci * C, C)],
                 vb.at[pl.ds(slot * Hkv, Hkv)], sem.at[slot, 1]).start()
 
         def lo_of(pos_b):
@@ -156,18 +168,18 @@ def attn_stage(thr, layer_ref, pos_bs, x3_ref, cs_ref, norm_ref,
             at stage entry so the read runs UNDER the norm/selection/
             QKV gather; b > 0 starts once b-1 releases the buffers."""
             if C == T:
-                pltpu.make_async_copy(kc_ref.at[li, b], kb,
+                pltpu.make_async_copy(kc_ref.at[li, cbs[b]], kb,
                                       sem.at[0, 0]).start()
-                pltpu.make_async_copy(vc_ref.at[li, b], vb,
+                pltpu.make_async_copy(vc_ref.at[li, cbs[b]], vb,
                                       sem.at[0, 1]).start()
             else:
                 lo = lo_of(pos_bs[b])
                 start_chunk(b, lo, jax.lax.rem(lo, 2))
             pltpu.make_async_copy(
-                kc_ref.at[li, b, :, pl.ds(ebs[b], R)], kpb,
+                kc_ref.at[li, cbs[b], :, pl.ds(ebs[b], R)], kpb,
                 psem.at[0]).start()
             pltpu.make_async_copy(
-                vc_ref.at[li, b, :, pl.ds(ebs[b], R)], vpb,
+                vc_ref.at[li, cbs[b], :, pl.ds(ebs[b], R)], vpb,
                 psem.at[1]).start()
 
         start_reads(0)
@@ -236,9 +248,11 @@ def attn_stage(thr, layer_ref, pos_bs, x3_ref, cs_ref, norm_ref,
             the slab scores and fixed up from VMEM."""
             pos_b, eb = pos_bs[b], ebs[b]
             pltpu.make_async_copy(
-                kc_ref.at[li, b, :, pl.ds(eb, R)], kpb, psem.at[0]).wait()
+                kc_ref.at[li, cbs[b], :, pl.ds(eb, R)], kpb,
+                psem.at[0]).wait()
             pltpu.make_async_copy(
-                vc_ref.at[li, b, :, pl.ds(eb, R)], vpb, psem.at[1]).wait()
+                vc_ref.at[li, cbs[b], :, pl.ds(eb, R)], vpb,
+                psem.at[1]).wait()
             row = jax.lax.broadcasted_iota(
                 jnp.int32, (Hkv, R, D), 1) == (pos_b - eb)
             kpb[...] = jnp.where(row, knbuf[:, b:b + 1, :].astype(kpb.dtype),
@@ -246,9 +260,9 @@ def attn_stage(thr, layer_ref, pos_bs, x3_ref, cs_ref, norm_ref,
             vpb[...] = jnp.where(row, vnbuf[:, b:b + 1, :].astype(vpb.dtype),
                                  vpb[...])
             wk = pltpu.make_async_copy(
-                kpb, kc_ref.at[li, b, :, pl.ds(eb, R)], wsem.at[0])
+                kpb, kc_ref.at[li, cbs[b], :, pl.ds(eb, R)], wsem.at[0])
             wv = pltpu.make_async_copy(
-                vpb, vc_ref.at[li, b, :, pl.ds(eb, R)], wsem.at[1])
+                vpb, vc_ref.at[li, cbs[b], :, pl.ds(eb, R)], wsem.at[1])
             wk.start()
             wv.start()
             return wk, wv
@@ -261,9 +275,9 @@ def attn_stage(thr, layer_ref, pos_bs, x3_ref, cs_ref, norm_ref,
             if window is not None:
                 valid &= tpos > pos_b - window
             # full-cache read started in start_reads(b)
-            pltpu.make_async_copy(kc_ref.at[li, b], kb,
+            pltpu.make_async_copy(kc_ref.at[li, cbs[b]], kb,
                                   sem.at[0, 0]).wait()
-            pltpu.make_async_copy(vc_ref.at[li, b], vb,
+            pltpu.make_async_copy(vc_ref.at[li, cbs[b]], vb,
                                   sem.at[0, 1]).wait()
 
             def hloop(hh, _):
@@ -308,6 +322,15 @@ def attn_stage(thr, layer_ref, pos_bs, x3_ref, cs_ref, norm_ref,
             a_ref[...] = jnp.zeros_like(a_ref)
             wk, wv = write_tile(b)
 
+            # stage sequence b's q heads as [Hkv, GH, D] once so the
+            # chunk loop runs BATCHED MXU dots instead of per-head VPU
+            # reduces — the per-head form measured 2.6x the DMA roofline
+            # at 7B/2048 where the batched dot runs 1.5x
+            # (experiments/attn_variant_probe.py, round 4)
+            for hh in range(Hkv):
+                for g in range(GH):
+                    qh_s[hh, g:g + 1, :] = qbuf[hh * GH + g, b:b + 1, :]
+
             def cloop(ci, _):
                 slot = jax.lax.rem(ci, 2)
                 wait_chunk(slot)
@@ -316,54 +339,94 @@ def attn_stage(thr, layer_ref, pos_bs, x3_ref, cs_ref, norm_ref,
                 def _():
                     start_chunk(b, ci + 1, jax.lax.rem(ci + 1, 2))
 
-                tpos = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
-                        + ci * C)
-                valid = tpos < pos_b    # current token handled apart
-                if window is not None:
-                    valid &= tpos > pos_b - window
-
-                def hloop(hh, _):
-                    k_ = kb[slot * Hkv + hh].astype(jnp.float32)  # [C, D]
-                    v_ = vb[slot * Hkv + hh].astype(jnp.float32)
-                    for g in range(GH):
-                        hq = hh * GH + g
-                        qv = qbuf[hq, b:b + 1, :]
-                        s = jnp.sum(k_ * qv, axis=1, keepdims=True)
-                        s = jnp.where(valid, s, neg)          # [C, 1]
-                        m_old = m_ref[hq]                     # [1, LANES]
-                        m_new = jnp.maximum(m_old, jnp.max(s))
-                        ms = jnp.max(m_new)                   # scalar
-                        e = jnp.where(valid, jnp.exp(s - ms), 0.0)
+                if GH == 1:
+                    # MHA: one batched dot over all Hkv heads
+                    # (probe variant "bdot": 61.5 us/layer vs fori 107.9
+                    # at Hkv=32, T=2048, C=256)
+                    tpos = (jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 1, C), 2) + ci * C)
+                    valid = tpos < pos_b    # current token handled apart
+                    if window is not None:
+                        valid &= tpos > pos_b - window
+                    k3 = kb[pl.ds(slot * Hkv, Hkv)]        # [Hkv, C, D]
+                    v3 = vb[pl.ds(slot * Hkv, Hkv)]
+                    s = jax.lax.dot_general(
+                        qh_s[...].astype(k3.dtype), k3,
+                        (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)  # [Hkv,GH,C]
+                    s = jnp.where(valid, s, neg)
+                    m_old = m_ref[...].reshape(Hkv, GH, 1)
+                    m_new = jnp.maximum(
+                        m_old, jnp.max(s, axis=2, keepdims=True))
+                    e = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+                    corr = jnp.exp(m_old - m_new)
+                    d_new = (d_ref[...].reshape(Hkv, GH, 1) * corr
+                             + jnp.sum(e, axis=2, keepdims=True))
+                    pv = jax.lax.dot_general(
+                        e.astype(v3.dtype), v3,
+                        (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)  # [Hkv,GH,D]
+                    a_old = a_ref[...].reshape(Hkv, GH, D)
+                    a_ref[...] = (a_old * corr + pv).reshape(Hq, D)
+                    m_ref[...] = m_new.reshape(Hq, 1)
+                    d_ref[...] = d_new.reshape(Hq, 1)
+                else:
+                    # GQA: per-kv-head [GH, C] / [GH, D] MXU dots,
+                    # python-unrolled (probe variant "unroll": 31.2
+                    # us/layer at Hkv=8/GH=4 vs bdot 57.4)
+                    tpos = (jax.lax.broadcasted_iota(
+                        jnp.int32, (1, C), 1) + ci * C)
+                    valid = tpos < pos_b
+                    if window is not None:
+                        valid &= tpos > pos_b - window
+                    for hh in range(Hkv):
+                        h0 = hh * GH
+                        k_ = kb[slot * Hkv + hh]              # [C, D]
+                        v_ = vb[slot * Hkv + hh]
+                        q_ = qh_s[hh]                         # [GH, D]
+                        s = jax.lax.dot_general(
+                            q_.astype(k_.dtype), k_,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [GH,C]
+                        s = jnp.where(valid, s, neg)
+                        m_old = m_ref[h0:h0 + GH, :]          # [GH, 1]
+                        m_new = jnp.maximum(
+                            m_old, jnp.max(s, axis=1, keepdims=True))
+                        e = jnp.where(valid, jnp.exp(s - m_new), 0.0)
                         corr = jnp.exp(m_old - m_new)
-                        d_ref[hq] = d_ref[hq] * corr + jnp.sum(e)
-                        a_ref[hq] = a_ref[hq] * corr[:, :1] + jnp.sum(
-                            v_ * e, axis=0, keepdims=True)
-                        m_ref[hq] = m_new
-                    return ()
-
-                jax.lax.fori_loop(0, Hkv, hloop, ())
+                        d_ref[h0:h0 + GH, :] = (
+                            d_ref[h0:h0 + GH, :] * corr
+                            + jnp.sum(e, axis=1, keepdims=True))
+                        pv = jax.lax.dot_general(
+                            e.astype(v_.dtype), v_,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [GH,D]
+                        a_ref[h0:h0 + GH, :] = (
+                            a_ref[h0:h0 + GH, :] * corr + pv)
+                        m_ref[h0:h0 + GH, :] = m_new
                 return ()
 
             jax.lax.fori_loop(lo, hi, cloop, ())
 
-            def hfin(hh, _):
-                kn = knbuf[hh, b:b + 1, :]
+            # final merge: the current token's k/v live in VMEM (knbuf/
+            # vnbuf), scored on the VPU in fp32
+            for hh in range(Hkv):
+                h0 = hh * GH
+                kn = knbuf[hh, b:b + 1, :]                    # [1, D]
                 vn = vnbuf[hh, b:b + 1, :]
+                q_ = qh_s[hh]                                 # [GH, D]
+                sc = jnp.sum(q_ * kn, axis=1, keepdims=True)  # [GH, 1]
+                m_old = m_ref[h0:h0 + GH, :]
+                m_fin = jnp.maximum(m_old, sc)
+                corr = jnp.exp(m_old - m_fin)
+                ec = jnp.exp(sc - m_fin)
+                den = d_ref[h0:h0 + GH, :] * corr + ec        # [GH, 1]
+                out = ((a_ref[h0:h0 + GH, :] * corr + ec * vn)
+                       * (1.0 / den))                         # [GH, D]
                 for g in range(GH):
-                    hq = hh * GH + g
-                    qv = qbuf[hq, b:b + 1, :]
-                    sc = jnp.sum(kn * qv)                     # scalar
-                    m_old = m_ref[hq]
-                    m_fin = jnp.maximum(m_old, sc)
-                    corr = jnp.exp(m_old - m_fin)
-                    ec = jnp.exp(sc - jnp.max(m_fin))
-                    den = d_ref[hq] * corr + ec               # [1, LANES]
-                    o_ref[hq, b:b + 1, :] = ((
-                        a_ref[hq] * corr[:, :1] + ec * vn
-                    ) * (1.0 / den[:, :1])).astype(o_ref.dtype)
-                return ()
+                    o_ref[h0 + g, b:b + 1, :] = \
+                        out[g:g + 1, :].astype(o_ref.dtype)
 
-            jax.lax.fori_loop(0, Hkv, hfin, ())
             wk.wait()
             wv.wait()
 
@@ -402,9 +465,10 @@ def attn_stage(thr, layer_ref, pos_bs, x3_ref, cs_ref, norm_ref,
             pltpu.VMEM((2 * Hkv, C, D), vc_ref.dtype),
             pltpu.VMEM((Hkv, ROWTILE, D), kc_ref.dtype),
             pltpu.VMEM((Hkv, ROWTILE, D), vc_ref.dtype),
-            pltpu.VMEM((Hq, 1, LANES), jnp.float32),   # running max
-            pltpu.VMEM((Hq, 1, LANES), jnp.float32),   # running denom
-            pltpu.VMEM((Hq, 1, D), jnp.float32),       # running PV acc
+            pltpu.VMEM((Hq, 1), jnp.float32),          # running max
+            pltpu.VMEM((Hq, 1), jnp.float32),          # running denom
+            pltpu.VMEM((Hq, D), jnp.float32),          # running PV acc
+            pltpu.VMEM((Hkv, GH, D), jnp.float32),     # staged q heads
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

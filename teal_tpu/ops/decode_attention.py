@@ -139,7 +139,7 @@ def _decode_attn_kernel(layer_ref, pos_ref, q_ref, kn_ref, vn_ref,
 
         jax.lax.fori_loop(0, B, bloop, ())
 
-    def body(kb, vb, kpb, vpb, m_ref, d_ref, a_ref, sem, psem, wsem):
+    def body(kb, vb, kpb, vpb, m_ref, d_ref, a_ref, qh_s, sem, psem, wsem):
         li = layer_ref[0]
 
         def start_chunk(b, ci, slot):
@@ -198,6 +198,16 @@ def _decode_attn_kernel(layer_ref, pos_ref, q_ref, kn_ref, vn_ref,
             wk.start()
             wv.start()
 
+            # stage sequence b's q heads as [Hkv, G, D] fp32 (scale
+            # folded) so the chunk loop runs batched MXU dots instead of
+            # per-head VPU reduces (experiments/attn_variant_probe.py:
+            # fori 107.9 -> bdot 61.5 us/layer at 7B/2048)
+            for hh in range(Hkv):
+                for g in range(G):
+                    qh_s[hh, g:g + 1, :] = (
+                        q_ref[b * Hq + hh * G + g].astype(jnp.float32)
+                        * scale)
+
             def cloop(ci, _):
                 slot = jax.lax.rem(ci, 2)
                 wait_chunk(slot)
@@ -206,56 +216,88 @@ def _decode_attn_kernel(layer_ref, pos_ref, q_ref, kn_ref, vn_ref,
                 def _():
                     start_chunk(b, ci + 1, jax.lax.rem(ci + 1, 2))
 
-                tpos = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
-                        + ci * C)
-                valid = tpos < pos_b        # current token handled apart
-                if window is not None:
-                    valid &= tpos > pos_b - window
-
-                def hloop(hh, _):
-                    k = kb[slot * Hkv + hh].astype(jnp.float32)   # [C, D]
-                    v = vb[slot * Hkv + hh].astype(jnp.float32)
-                    for g in range(G):
-                        hq = hh * G + g
-                        qv = q_ref[b * Hq + hq].astype(jnp.float32)
-                        s = jnp.sum(k * qv, axis=1, keepdims=True) * scale
-                        s = jnp.where(valid, s, neg)          # [C, 1]
-                        m_old = m_ref[hq]                     # [1, LANES]
-                        m_new = jnp.maximum(m_old, jnp.max(s))
-                        ms = jnp.max(m_new)                   # scalar
-                        e = jnp.where(valid, jnp.exp(s - ms), 0.0)
+                if G == 1:
+                    # MHA: one batched dot over all Hkv heads
+                    tpos = (jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 1, C), 2) + ci * C)
+                    valid = tpos < pos_b    # current token handled apart
+                    if window is not None:
+                        valid &= tpos > pos_b - window
+                    k3 = kb[pl.ds(slot * Hkv, Hkv)]         # [Hkv, C, D]
+                    v3 = vb[pl.ds(slot * Hkv, Hkv)]
+                    s = jax.lax.dot_general(
+                        qh_s[...].astype(k3.dtype), k3,
+                        (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)  # [Hkv,G,C]
+                    s = jnp.where(valid, s, neg)
+                    m_old = m_ref[...].reshape(Hkv, G, 1)
+                    m_new = jnp.maximum(
+                        m_old, jnp.max(s, axis=2, keepdims=True))
+                    e = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+                    corr = jnp.exp(m_old - m_new)
+                    d_new = (d_ref[...].reshape(Hkv, G, 1) * corr
+                             + jnp.sum(e, axis=2, keepdims=True))
+                    pv = jax.lax.dot_general(
+                        e.astype(v3.dtype), v3,
+                        (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)  # [Hkv,G,D]
+                    a_old = a_ref[...].reshape(Hkv, G, D)
+                    a_ref[...] = (a_old * corr + pv).reshape(Hq, D)
+                    m_ref[...] = m_new.reshape(Hq, 1)
+                    d_ref[...] = d_new.reshape(Hq, 1)
+                else:
+                    # GQA: per-kv-head [G, C] / [G, D] MXU dots
+                    tpos = (jax.lax.broadcasted_iota(
+                        jnp.int32, (1, C), 1) + ci * C)
+                    valid = tpos < pos_b
+                    if window is not None:
+                        valid &= tpos > pos_b - window
+                    for hh in range(Hkv):
+                        h0 = hh * G
+                        k_ = kb[slot * Hkv + hh]              # [C, D]
+                        v_ = vb[slot * Hkv + hh]
+                        q_ = qh_s[hh]                         # [G, D]
+                        s = jax.lax.dot_general(
+                            q_.astype(k_.dtype), k_,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [G,C]
+                        s = jnp.where(valid, s, neg)
+                        m_old = m_ref[h0:h0 + G, :]           # [G, 1]
+                        m_new = jnp.maximum(
+                            m_old, jnp.max(s, axis=1, keepdims=True))
+                        e = jnp.where(valid, jnp.exp(s - m_new), 0.0)
                         corr = jnp.exp(m_old - m_new)
-                        d_ref[hq] = d_ref[hq] * corr + jnp.sum(e)
-                        a_ref[hq] = a_ref[hq] * corr[:, :1] + jnp.sum(
-                            v * e, axis=0, keepdims=True)
-                        m_ref[hq] = m_new
-                    return ()
-
-                jax.lax.fori_loop(0, Hkv, hloop, ())
+                        d_ref[h0:h0 + G, :] = (
+                            d_ref[h0:h0 + G, :] * corr
+                            + jnp.sum(e, axis=1, keepdims=True))
+                        pv = jax.lax.dot_general(
+                            e.astype(v_.dtype), v_,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [G,D]
+                        a_ref[h0:h0 + G, :] = (
+                            a_ref[h0:h0 + G, :] * corr + pv)
+                        m_ref[h0:h0 + G, :] = m_new
                 return ()
 
             jax.lax.fori_loop(lo, hi, cloop, ())
 
             # --- exact current-token fix-up + final normalization ---
-            def hfin(hh, _):
+            for hh in range(Hkv):
+                h0 = hh * G
                 kn = kn_ref[b * Hkv + hh].astype(jnp.float32)   # [1, D]
                 vn = vn_ref[b * Hkv + hh].astype(jnp.float32)
+                q_ = qh_s[hh]                                   # [G, D]
+                sc = jnp.sum(q_ * kn, axis=1, keepdims=True)    # [G, 1]
+                m_old = m_ref[h0:h0 + G, :]
+                m_fin = jnp.maximum(m_old, sc)
+                corr = jnp.exp(m_old - m_fin)
+                ec = jnp.exp(sc - m_fin)
+                den = d_ref[h0:h0 + G, :] * corr + ec           # [G, 1]
+                out = ((a_ref[h0:h0 + G, :] * corr + ec * vn)
+                       * (1.0 / den))                           # [G, D]
                 for g in range(G):
-                    hq = hh * G + g
-                    qi = b * Hq + hq
-                    qv = q_ref[qi].astype(jnp.float32)
-                    sc = jnp.sum(kn * qv) * scale               # scalar
-                    m_old = m_ref[hq]
-                    m_fin = jnp.maximum(m_old, sc)
-                    corr = jnp.exp(m_old - m_fin)
-                    ec = jnp.exp(sc - jnp.max(m_fin))
-                    den = d_ref[hq] * corr + ec                 # [1, LANES]
-                    o_ref[qi] = (
-                        a_ref[hq] * corr[:, :1] + ec * vn
-                    ) * (1.0 / den[:, :1])
-                return ()
+                    o_ref[b * Hq + h0 + g] = out[g:g + 1, :]
 
-            jax.lax.fori_loop(0, Hkv, hfin, ())
             wk.wait()
             wv.wait()
             return ()
@@ -280,9 +322,10 @@ def _decode_attn_kernel(layer_ref, pos_ref, q_ref, kn_ref, vn_ref,
             pltpu.VMEM((2 * Hkv, C, D), vc_ref.dtype),
             pltpu.VMEM((Hkv, ROWTILE, D), kc_ref.dtype),
             pltpu.VMEM((Hkv, ROWTILE, D), vc_ref.dtype),
-            pltpu.VMEM((Hq, 1, LANES), jnp.float32),   # running max
-            pltpu.VMEM((Hq, 1, LANES), jnp.float32),   # running denominator
-            pltpu.VMEM((Hq, 1, D), jnp.float32),       # running PV accumulator
+            pltpu.VMEM((Hq, 1), jnp.float32),          # running max
+            pltpu.VMEM((Hq, 1), jnp.float32),          # running denominator
+            pltpu.VMEM((Hq, D), jnp.float32),          # running PV acc
+            pltpu.VMEM((Hkv, G, D), jnp.float32),      # staged scaled q
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

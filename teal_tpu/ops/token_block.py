@@ -186,7 +186,8 @@ def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
                   window: Optional[int], norm_eps: float, caps, depths,
                   plan_groups, scale: float, fixed_sel: bool,
                   int8: bool = False, B: int = 1, rows: int = 1,
-                  E: int = 0, K_EXP: int = 0):
+                  E: int = 0, K_EXP: int = 0, seq_block: bool = False,
+                  cache_offset: int = 0):
     na_ref, nm_ref = refs[0], refs[1]
     k = 2
     if int8:
@@ -235,7 +236,9 @@ def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
                G=LANES, plans=plan_groups[0], nb=nbD, cap=caps[0],
                depth=depths[0], norm_eps=norm_eps, Hq=Hq, Hkv=Hkv,
                T=T, D=LANES, C=C, window=window, scale=scale,
-               fixed_sel=fixed_sel, scale_ref=s_refs[0])
+               fixed_sel=fixed_sel, scale_ref=s_refs[0],
+               cache_rows=((0,) * B if seq_block else
+                           tuple(cache_offset + b for b in range(B))))
 
     def write_residual(acc, sb):
         """o/down writer: (scaled) accumulator rows + residual stream,
@@ -323,12 +326,14 @@ def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
 
 @functools.partial(jax.jit, static_argnames=("caps", "n_heads", "norm_eps",
                                              "window", "fixed_sel",
-                                             "batch", "n_experts_per_tok"))
+                                             "batch", "n_experts_per_tok",
+                                             "seq_block", "cache_offset"))
 def token_decode(x3, thresholds, ws, norm_attn3, norm_mlp3, cos, sin,
                  kc_all, vc_all, pos, *, caps, n_heads: int,
                  norm_eps: float = 1e-5, window: Optional[int] = None,
                  fixed_sel: bool = False, batch: int = 1,
-                 router=None, n_experts_per_tok: int = 0):
+                 router=None, n_experts_per_tok: int = 0,
+                 seq_block: bool = False, cache_offset: int = 0):
     """One-launch decode of the whole layer stack (batch <= 8, G == 128).
 
     x3:  packed RAW residual stream: [dim/128, 1, 128] (batch 1) or
@@ -347,10 +352,21 @@ def token_decode(x3, thresholds, ws, norm_attn3, norm_mlp3, cos, sin,
          batched selection pools the group score over the batch
          (`select_groups_batched` semantics), one shared kept set
 
+    seq_block: the `batch` rows are CONSECUTIVE POSITIONS pos..pos+B-1
+    of ONE sequence (cache batch dim must be 1) — the speculative-verify
+    / chunked-prefill shape. Slots run in order, so row i attends to
+    rows < i through the cache (attn_block.attn_stage cache_rows).
+
+    cache_offset: slot b reads/writes cache row cache_offset + b — the
+    B > 8 serving step runs TWO launches (slots 0-7 then 8-15, one
+    pooled selection each) against the SAME stacked cache with no
+    slice/copy of the cache slabs.
+
     Returns (h3' in x3's layout, kc_all, vc_all).
     """
     L, Bc, Hkv, T, Dh = kc_all.shape
-    assert Bc == batch and Dh == LANES and T % ROWTILE == 0, kc_all.shape
+    assert (Bc == 1 if seq_block else Bc >= cache_offset + batch) \
+        and Dh == LANES and T % ROWTILE == 0, kc_all.shape
     rows = x3.shape[1]
     assert rows == (1 if batch == 1 else SUBLANES), (x3.shape, batch)
     nbD = x3.shape[0]
@@ -439,7 +455,8 @@ def token_decode(x3, thresholds, ws, norm_attn3, norm_mlp3, cos, sin,
         window=window, norm_eps=norm_eps, caps=tuple(caps), depths=depths,
         plan_groups=plan_groups, scale=1.0 / (Dh ** 0.5),
         fixed_sel=fixed_sel, int8=int8, B=batch, rows=rows,
-        E=E, K_EXP=n_experts_per_tok,
+        E=E, K_EXP=n_experts_per_tok, seq_block=seq_block,
+        cache_offset=cache_offset,
     )
     moe_scratch = [] if not moe else [
         pltpu.VMEM((nbD, rows, LANES), x3.dtype),         # normalized xn

@@ -970,6 +970,53 @@ def test_token_kernel_batched_equivalence():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_token_kernel_b16_two_launch_equivalence():
+    """B > 8 decode runs TWO token-kernel launches (slots 0-7 / 8-B,
+    one pooled selection each) at a static cache_offset against the
+    same cache — == running the two groups as separate batched forwards
+    on their cache slices."""
+    from teal_tpu.config import get_model_config
+    from teal_tpu.models import llama
+    from teal_tpu.models.llama import KVCache
+
+    cfg = get_model_config("tiny", n_layers=2, n_heads=2, n_kv_heads=2,
+                           dim=256, intermediate_size=384, vocab_size=128)
+    B = 12
+    params = llama.init_params(cfg, jax.random.PRNGKey(22), jnp.float32)
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                        block_keep_frac=0.75, block_thresholding=True,
+                        fused_decode_attention=True)
+    th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
+    rng = np.random.default_rng(7)
+    pos = jnp.asarray(rng.integers(1, 15, B), jnp.int32)
+    cache = KVCache.init(cfg, B, 16, jnp.float32)
+    cache = KVCache(
+        k=jax.random.normal(jax.random.PRNGKey(43), cache.k.shape,
+                            jnp.float32) * 0.1,
+        v=jax.random.normal(jax.random.PRNGKey(44), cache.v.shape,
+                            jnp.float32) * 0.1)
+    tok = jnp.asarray(rng.integers(1, 120, (B, 1)), jnp.int32)
+    got, cg = llama.forward(params, tok, cache, pos, th, cfg=cfg, sp=sp)
+    refs, rk, rv = [], [], []
+    for lo in (0, 8):
+        hi = min(lo + 8, B)
+        sub = KVCache(k=cache.k[:, lo:hi], v=cache.v[:, lo:hi])
+        r, cr = llama.forward(params, tok[lo:hi], sub, pos[lo:hi], th,
+                              cfg=cfg, sp=sp)
+        refs.append(r)
+        rk.append(cr.k)
+        rv.append(cr.v)
+    ref = jnp.concatenate(refs, axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(
+        np.asarray(cg.k), np.asarray(jnp.concatenate(rk, axis=1)),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(cg.v), np.asarray(jnp.concatenate(rv, axis=1)),
+        rtol=1e-5, atol=1e-6)
+
+
 def test_token_kernel_moe_equivalence():
     """Mixtral MoE through the whole-token kernel (in-kernel routing:
     packed router rows -> VPU expert scores -> top-k + softmax ->

@@ -106,6 +106,30 @@ def test_serving_with_sparsity(tiny):
     assert all(len(r.out) == 4 for r in finished)
 
 
+def test_serving_b_gt_8_two_launch():
+    """slots > 8: the decode step runs two token-kernel launches per
+    step (8 + rest) against one cache; requests still finish correctly."""
+    from jax.experimental.pallas import tpu as pltpu
+    from teal_tpu.config import SparsityConfig, get_model_config
+
+    cfg = get_model_config("tiny", dim=256, intermediate_size=384,
+                           n_heads=2, n_kv_heads=2, vocab_size=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(4), jnp.float32)
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                        block_keep_frac=0.75, block_thresholding=True)
+    eng = ContinuousBatchingEngine(
+        cfg, params, slots=10, max_seq=32, temperature=0.0,
+        cache_dtype=jnp.float32, sp=sp,
+        thresholds=jnp.zeros((cfg.n_layers, 7), jnp.float32),
+    )
+    for i in range(10):
+        eng.submit([1 + i, 2, 3], 3)
+    with pltpu.force_tpu_interpret_mode():
+        finished = eng.run()
+    assert len(finished) == 10
+    assert all(len(r.out) == 3 for r in finished)
+
+
 def test_serving_with_block_kernel():
     """Continuous batching drives the batched block-sparse decode path
     (slots <= 8 => kernel batch rows)."""

@@ -142,6 +142,77 @@ def test_shared_cache_requires_shared_params(tiny):
         )
 
 
+def test_block_verify_matches_dense_forward():
+    """The kernel-verify forward (k+1 positions as token-kernel sublane
+    rows, one launch for the whole stack) must equal the XLA dense
+    forward: same logits, same cache — across MHA/GQA and positions
+    including pos 0 and mid-write-tile."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from teal_tpu.config import SparsityConfig
+
+    for nh, nkv in ((2, 2), (4, 2)):
+        cfg = get_model_config(
+            "tiny", n_layers=2, n_heads=nh, n_kv_heads=nkv,
+            dim=256 * (nh // 2), intermediate_size=384, vocab_size=128)
+        params = llama.init_params(cfg, jax.random.PRNGKey(1),
+                                   jnp.float32)
+        th = llama.zero_thresholds(cfg)
+        assert llama.can_block_verify(params, cfg, 5)
+        for p in (0, 7, 16):
+            cache = llama.KVCache.init(cfg, 1, 48, jnp.float32)
+            cache = llama.KVCache(
+                k=jax.random.normal(jax.random.PRNGKey(p),
+                                    cache.k.shape, jnp.float32) * 0.1,
+                v=jax.random.normal(jax.random.PRNGKey(p + 1),
+                                    cache.v.shape, jnp.float32) * 0.1)
+            toks = jnp.asarray([[3, 9, 11, 2, 7]], jnp.int32)
+            with pltpu.force_tpu_interpret_mode():
+                got, cg = llama.block_verify(params, toks, cache, p, th,
+                                             cfg=cfg)
+            ref, cr = llama.forward(params, toks, cache, p, th, cfg=cfg,
+                                    sp=SparsityConfig(enabled=False))
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=3e-4, atol=3e-4,
+                err_msg=f"H{nh}/{nkv} pos={p}")
+            np.testing.assert_allclose(np.asarray(cg.k), np.asarray(cr.k),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(cg.v), np.asarray(cr.v),
+                                       rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_shared_cache_kernel_verify_lossless_greedy():
+    """Shared-cache self-speculation with the KERNEL verify (head_dim
+    128 config, block-sparse draft + block_verify, all in interpret
+    mode) reproduces dense greedy decoding exactly."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from teal_tpu.config import SparsityConfig
+
+    cfg = get_model_config(
+        "tiny", n_layers=2, n_heads=2, n_kv_heads=2,
+        dim=256, intermediate_size=384, vocab_size=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(3), jnp.float32)
+    prompt = np.array([5, 2, 7])
+    gen = Generator(cfg, params, max_seq=64, temperature=0.0)
+    ref, _ = gen.generate(prompt, 10)
+
+    draft_sp = SparsityConfig(enabled=True, kernel="block",
+                              block_size=128, block_keep_frac=0.5,
+                              block_thresholding=True)
+    th = jnp.zeros((cfg.n_layers, 7), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        toks, stats = speculative_generate(
+            params, params, cfg, cfg, prompt, 10,
+            speculate_k=3, temperature=0.0, max_seq=64,
+            cache_dtype=jnp.float32, draft_sp=draft_sp,
+            draft_thresholds=th, key=jax.random.PRNGKey(5),
+            shared_cache=True,
+        )
+    np.testing.assert_array_equal(ref[0][:3 + 10], toks[:3 + 10])
+
+
 def test_speculative_with_sparse_target(tiny):
     """Speculative decoding composes with activation sparsity on the
     target model (masked-dense accuracy path)."""
