@@ -122,6 +122,15 @@ def main():
             # plain XLA dequant+matmul — known to die at 7B scale on the
             # round-3/4 runtime (INTERNAL / FAILED_PRECONDITION)
             "xla-dense": SparsityConfig(enabled=False),
+            # the bench's decode_tps program shape: a fori_loop of decode
+            # steps with a donated cache — round-4 int4 bench died here
+            # while every single-step case above passed
+            "loop-token": SparsityConfig(
+                enabled=True, kernel="block", block_size=128,
+                block_keep_frac=0.5, block_thresholding=True),
+            "loop-token-nodonate": SparsityConfig(
+                enabled=True, kernel="block", block_size=128,
+                block_keep_frac=0.5, block_thresholding=True),
         }
         names = [args.case] if args.case else list(cases)
         cfg, params = build("7B", 256, jnp.bfloat16, weights="int4",
@@ -129,10 +138,31 @@ def main():
         say("5a. int4 params built")
         tok = jnp.asarray([[5]], jnp.int32)
         th = jnp.zeros((cfg.n_layers, 7), jnp.float32)
+        import functools
+
         for name in names:
             cache = KVCache.init(cfg, 1, 256, jnp.bfloat16)
+            sp = cases[name]
+            if name.startswith("loop-token"):
+                donate = () if name.endswith("nodonate") else (1,)
+
+                @functools.partial(jax.jit, donate_argnums=donate,
+                                   static_argnums=())
+                def run(p, c, t0):
+                    def body(i, carry):
+                        t, c = carry
+                        lg, c = llama.forward(p, t, c, 10 + i, th,
+                                              cfg=cfg, sp=sp)
+                        return (jnp.argmax(lg[:, 0:1, :], -1)
+                                .astype(jnp.int32), c)
+                    t, c = jax.lax.fori_loop(0, 8, body, (t0, c))
+                    return t, c
+
+                t_out, _ = run(params, cache, tok)
+                say(f"5. int4 forward [{name}]:", np.asarray(t_out))
+                continue
             logits, _ = llama.forward(params, tok, cache, 10, th,
-                                      cfg=cfg, sp=cases[name])
+                                      cfg=cfg, sp=sp)
             say(f"5. int4 forward [{name}]:", np.asarray(logits)[0, 0, :2])
 
 

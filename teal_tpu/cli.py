@@ -261,6 +261,10 @@ def _generate_speculative(args, cfg, params, tok, sp, thresholds):
         kernel=args.kernel if not args.self_speculate else "block",
         block_size=args.block_size,
         block_keep_frac=1.0 - args.draft_sparsity,
+        # threshold selection (zero thresholds + capacity) keeps the
+        # draft on the whole-token kernel path — XLA top-k selection
+        # disqualifies the packed pipeline (models/llama.py gate)
+        block_thresholding=args.self_speculate,
     )
     ids = tok.encode(args.prompt, bos=True)
     for i in range(args.num_samples):

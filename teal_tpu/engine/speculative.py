@@ -105,7 +105,7 @@ def _spec_step(pt, pd, cache_t, cache_d, token, pos, th_t, th_d, key, *,
     # (shared_cache: runs on the draft-updated cache and overwrites
     # pos..pos+k with exact dense kv)
     seq = jnp.concatenate([token, dtoks])[None, :]          # [1, k+1]
-    if (shared_cache and not target_sp.enabled
+    if (not target_sp.enabled
             and llama.can_block_verify(pt, target_cfg, k + 1)):
         # dense verify through the batched token kernel (the k+1
         # positions ride the MXU sublane rows): weights stream once at
@@ -156,6 +156,7 @@ def _spec_step(pt, pd, cache_t, cache_d, token, pos, th_t, th_d, key, *,
     return out, acc_len + 1, cache_t, cache_d, key
 
 
+@functools.lru_cache(maxsize=32)
 def build_speculative_step(
     target_cfg: ModelConfig,
     draft_cfg: ModelConfig,
@@ -176,7 +177,13 @@ def build_speculative_step(
     the weights at AOT compile when draft and target share buffers.
     shared_cache (requires shared_params): ONE cache for draft+target
     (module docstring); the caller's cache_d is ignored and the returned
-    cache_d is the same array as cache_t."""
+    cache_d is the same array as cache_t.
+
+    lru_cached: rebuilding the step per generate call would RETRACE the
+    7B program every call (~8 s of Python tracing over the tunnel) —
+    exactly the fixed cost that masqueraded as a ~400 ms t_round in the
+    round-3/4 spec benches (spec_probe piece 4's slope timing, which
+    reuses one built fn, measured the true 74 ms)."""
     step = functools.partial(
         _spec_step, k=speculate_k, temperature=temperature, top_k=top_k,
         target_cfg=target_cfg, draft_cfg=draft_cfg, target_sp=target_sp,
@@ -205,6 +212,7 @@ def build_speculative_step(
     return jax.jit(step, donate_argnums=(2, 3))
 
 
+@functools.lru_cache(maxsize=32)
 def build_speculative_loop(
     target_cfg: ModelConfig,
     draft_cfg: ModelConfig,

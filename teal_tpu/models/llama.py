@@ -775,9 +775,11 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
 
 
 def can_block_verify(params, cfg: ModelConfig, s: int) -> bool:
-    """Static gate for `block_verify` (shapes/dtypes only)."""
+    """Static gate for `block_verify` (shapes/dtypes only). s > 8 runs
+    ceil(s/8) sequential row-chunk launches (each reads all weights, so
+    the practical bound is a few chunks)."""
     lay = params["layers"]
-    if not (1 < s <= 8 and cfg.n_experts == 0 and cfg.head_dim == 128
+    if not (1 < s <= 32 and cfg.n_experts == 0 and cfg.head_dim == 128
             and cfg.dim % 128 == 0 and cfg.intermediate_size % 128 == 0):
         return False
     if isinstance(lay["wq"], dict) and "zero" in lay["wq"]:
@@ -818,40 +820,53 @@ def block_verify(params, tokens, cache: KVCache, pos, thresholds, *,
     and reads weights at gather-kernel speed. The same rows mechanism
     serves chunk-of-8 prefill.
 
-    tokens: [1, S] int32; pos: scalar int32. Gate with
+    tokens: [1, S] int32; pos: scalar int32. S > 8 runs ceil(S/8)
+    sequential row-chunk launches: chunk j's rows attend to chunk < j's
+    kv through the cache (written densely by the earlier launch), so
+    causality holds exactly as inside one launch. Gate with
     `can_block_verify`. Returns (logits [1, S, V] fp32, new KVCache).
     """
     from teal_tpu.ops import block_gemv as _bg
     from teal_tpu.ops import token_block
 
     b, s = tokens.shape
-    assert b == 1 and 1 < s <= 8, (b, s)
+    assert b == 1 and 1 < s, (b, s)
     lay = params["layers"]
     dt = compute_dtype(params)
-    h = params["embed"][tokens[0]].astype(dt)               # [S, dim]
-    h3 = _bg.pack_x3_rows(h, 128)
     cos_full, sin_full = precompute_rope(cfg, cache.max_seq)
-    positions = jnp.asarray(pos, jnp.int32).reshape(()) + jnp.arange(s)
+    pos = jnp.asarray(pos, jnp.int32).reshape(())
     g_attn = _bg._shared_group_size([lay["wq"], lay["wk"], lay["wv"]],
                                     128, cfg.dim)
     g_mlp = _bg._shared_group_size([lay["wgate"], lay["wup"]],
                                    128, cfg.dim)
     packed_norms = {"attn": _bg.pack_norm3(lay["attn_norm"], g_attn),
                     "mlp": _bg.pack_norm3(lay["mlp_norm"], g_mlp)}
-    h3, kc, vc = token_block.token_decode(
-        h3, thresholds,
-        (lay["wq"], lay["wk"], lay["wv"], lay["wo"],
-         lay["wgate"], lay["wup"], lay["wdown"]),
-        packed_norms["attn"], packed_norms["mlp"],
-        cos_full[positions], sin_full[positions],
-        cache.k, cache.v, positions,
-        caps=(cfg.dim // 128, cfg.dim // 128, cfg.dim // 128,
-              cfg.intermediate_size // 128),
-        n_heads=cfg.n_heads, norm_eps=cfg.norm_eps,
-        window=cfg.sliding_window,
-        fixed_sel=True, batch=s, seq_block=True,
-    )
-    h = jnp.swapaxes(h3[:, :s, :], 0, 1).reshape(1, s, cfg.dim)
+    kc, vc = cache.k, cache.v
+    hs = []
+    n_chunks = -(-s // 8)
+    base, rem = divmod(s, n_chunks)
+    sizes = [base + (1 if j < rem else 0) for j in range(n_chunks)]
+    offs = [sum(sizes[:j]) for j in range(n_chunks)]
+    for off, ss in zip(offs, sizes):
+        h = params["embed"][tokens[0, off:off + ss]].astype(dt)
+        h3 = _bg.pack_x3_rows(h, 128)
+        positions = pos + off + jnp.arange(ss)
+        h3, kc, vc = token_block.token_decode(
+            h3, thresholds,
+            (lay["wq"], lay["wk"], lay["wv"], lay["wo"],
+             lay["wgate"], lay["wup"], lay["wdown"]),
+            packed_norms["attn"], packed_norms["mlp"],
+            cos_full[positions], sin_full[positions],
+            kc, vc, positions,
+            caps=(cfg.dim // 128, cfg.dim // 128, cfg.dim // 128,
+                  cfg.intermediate_size // 128),
+            n_heads=cfg.n_heads, norm_eps=cfg.norm_eps,
+            window=cfg.sliding_window,
+            fixed_sel=True, batch=ss, seq_block=True,
+        )
+        hs.append(jnp.swapaxes(h3[:, :ss, :], 0, 1)
+                  .reshape(1, ss, cfg.dim))
+    h = jnp.concatenate(hs, 1) if len(hs) > 1 else hs[0]
     h = rms_norm(h, params["final_norm"], cfg.norm_eps)
     return _lm_head(params, h), KVCache(kc, vc)
 

@@ -62,7 +62,7 @@ from teal_tpu.ops.block_gemv import (LANES, _gather_loop, _norm_fold,
                                      _norm_rows, _plan_weights,
                                      _scoped_buffers, _select_scan,
                                      _slab_copy, _start_dmas)
-from teal_tpu.ops.decode_attention import ROWTILE
+from teal_tpu.ops.decode_attention import ROWTILE, _mxu_dot
 
 
 def _attn_block_kernel(thr_ref, layer_ref, pos_ref, x3_ref, cs_ref, *refs,
@@ -144,7 +144,7 @@ def attn_stage(thr, layer_ref, pos_bs, x3_ref, cs_ref, norm_ref,
         li = layer_ref[0]
         ebs = [(p // R) * R for p in pos_bs]
         if C == T:
-            kb, vb, kpb, vpb, sem, psem, wsem = rest
+            kb, vb, kpb, vpb, qh_s, sem, psem, wsem = rest
         else:
             (kb, vb, kpb, vpb, m_ref, d_ref, a_ref, qh_s, sem, psem,
              wsem) = rest
@@ -267,40 +267,81 @@ def attn_stage(thr, layer_ref, pos_bs, x3_ref, cs_ref, norm_ref,
             wv.start()
             return wk, wv
 
+        def stage_q(b):
+            # sequence b's q heads as [Hkv, GH, D] fp32: the attention
+            # bodies run MXU dots over heads instead of per-head VPU
+            # reduces (experiments/attn_variant_probe.py, round 4)
+            for hh in range(Hkv):
+                for g in range(GH):
+                    qh_s[hh, g:g + 1, :] = qbuf[hh * GH + g, b:b + 1, :]
+
         def oneshot(b):
             pos_b = pos_bs[b]
             wk, wv = write_tile(b)
-            tpos = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
-            valid = tpos < pos_b            # current token handled apart
-            if window is not None:
-                valid &= tpos > pos_b - window
+            stage_q(b)
             # full-cache read started in start_reads(b)
             pltpu.make_async_copy(kc_ref.at[li, cbs[b]], kb,
                                   sem.at[0, 0]).wait()
             pltpu.make_async_copy(vc_ref.at[li, cbs[b]], vb,
                                   sem.at[0, 1]).wait()
 
-            def hloop(hh, _):
-                k_ = kb[hh].astype(jnp.float32)           # [T, D]
-                v_ = vb[hh].astype(jnp.float32)
-                kn = knbuf[hh, b:b + 1, :]                # [1, D] f32
-                vn = vnbuf[hh, b:b + 1, :]
-                for g in range(GH):
-                    hq = hh * GH + g
-                    qv = qbuf[hq, b:b + 1, :]             # [1, D] pre-scaled
-                    s = jnp.sum(k_ * qv, axis=1, keepdims=True)
-                    s = jnp.where(valid, s, neg)          # [T, 1]
-                    sc = jnp.sum(kn * qv)                 # current token
-                    m = jnp.maximum(jnp.max(s), sc)
+            if GH == 1:
+                tpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, T), 2)
+                valid = tpos < pos_b        # current token handled apart
+                if window is not None:
+                    valid &= tpos > pos_b - window
+                k3, v3 = kb[...], vb[...]              # [Hkv, T, D]
+                s = _mxu_dot(
+                    qh_s[...].astype(k3.dtype), k3,
+                    (((2,), (2,)), ((0,), (0,))))  # [Hkv, GH, T]
+                s = jnp.where(valid, s, neg)
+                m = jnp.max(s, axis=2, keepdims=True)
+                e = jnp.where(valid, jnp.exp(s - m), 0.0)
+                d_ = jnp.sum(e, axis=2, keepdims=True)
+                pv = _mxu_dot(
+                    e.astype(v3.dtype), v3,
+                    (((2,), (1,)), ((0,), (0,))))  # [Hkv, GH, D]
+                for hh in range(Hkv):
+                    kn = knbuf[hh, b:b + 1, :]
+                    vn = vnbuf[hh, b:b + 1, :]
+                    q_ = qh_s[hh]                        # [GH, D]
+                    sc = jnp.sum(q_ * kn, axis=1, keepdims=True)
+                    m_f = jnp.maximum(m[hh], sc)         # [GH, 1]
+                    corr = jnp.exp(m[hh] - m_f)
+                    ec = jnp.exp(sc - m_f)
+                    den = d_[hh] * corr + ec
+                    out = ((pv[hh] * corr + ec * vn) * (1.0 / den))
+                    for g in range(GH):
+                        o_ref[hh * GH + g, b:b + 1, :] = \
+                            out[g:g + 1, :].astype(o_ref.dtype)
+            else:
+                tpos = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+                valid = tpos < pos_b
+                if window is not None:
+                    valid &= tpos > pos_b - window
+                for hh in range(Hkv):
+                    h0 = hh * GH
+                    k_, v_ = kb[hh], vb[hh]              # [T, D]
+                    q_ = qh_s[hh]                        # [GH, D]
+                    s = _mxu_dot(
+                        q_.astype(k_.dtype), k_,
+                        (((1,), (1,)), ((), ())))  # [GH, T]
+                    s = jnp.where(valid, s, neg)
+                    kn = knbuf[hh, b:b + 1, :]
+                    vn = vnbuf[hh, b:b + 1, :]
+                    sc = jnp.sum(q_ * kn, axis=1, keepdims=True)
+                    m = jnp.maximum(
+                        jnp.max(s, axis=1, keepdims=True), sc)
                     e = jnp.where(valid, jnp.exp(s - m), 0.0)
                     ec = jnp.exp(sc - m)
-                    den = jnp.sum(e) + ec
-                    o_ref[hq, b:b + 1, :] = ((
-                        jnp.sum(v_ * e, axis=0, keepdims=True) + ec * vn
-                    ) * (1.0 / den)).astype(o_ref.dtype)
-                return ()
-
-            jax.lax.fori_loop(0, Hkv, hloop, ())
+                    den = jnp.sum(e, axis=1, keepdims=True) + ec
+                    pv = _mxu_dot(
+                        e.astype(v_.dtype), v_,
+                        (((1,), (0,)), ((), ())))  # [GH, D]
+                    out = (pv + ec * vn) * (1.0 / den)
+                    for g in range(GH):
+                        o_ref[h0 + g, b:b + 1, :] = \
+                            out[g:g + 1, :].astype(o_ref.dtype)
             wk.wait()
             wv.wait()
 
@@ -322,14 +363,9 @@ def attn_stage(thr, layer_ref, pos_bs, x3_ref, cs_ref, norm_ref,
             a_ref[...] = jnp.zeros_like(a_ref)
             wk, wv = write_tile(b)
 
-            # stage sequence b's q heads as [Hkv, GH, D] once so the
-            # chunk loop runs BATCHED MXU dots instead of per-head VPU
-            # reduces — the per-head form measured 2.6x the DMA roofline
-            # at 7B/2048 where the batched dot runs 1.5x
-            # (experiments/attn_variant_probe.py, round 4)
-            for hh in range(Hkv):
-                for g in range(GH):
-                    qh_s[hh, g:g + 1, :] = qbuf[hh * GH + g, b:b + 1, :]
+            # batched-dot bodies: per-head VPU form measured 2.6x the
+            # DMA roofline at 7B/2048 where the batched dot runs 1.5x
+            stage_q(b)
 
             def cloop(ci, _):
                 slot = jax.lax.rem(ci, 2)
@@ -350,10 +386,9 @@ def attn_stage(thr, layer_ref, pos_bs, x3_ref, cs_ref, norm_ref,
                         valid &= tpos > pos_b - window
                     k3 = kb[pl.ds(slot * Hkv, Hkv)]        # [Hkv, C, D]
                     v3 = vb[pl.ds(slot * Hkv, Hkv)]
-                    s = jax.lax.dot_general(
+                    s = _mxu_dot(
                         qh_s[...].astype(k3.dtype), k3,
-                        (((2,), (2,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32)  # [Hkv,GH,C]
+                        (((2,), (2,)), ((0,), (0,))))  # [Hkv,GH,C]
                     s = jnp.where(valid, s, neg)
                     m_old = m_ref[...].reshape(Hkv, GH, 1)
                     m_new = jnp.maximum(
@@ -362,10 +397,9 @@ def attn_stage(thr, layer_ref, pos_bs, x3_ref, cs_ref, norm_ref,
                     corr = jnp.exp(m_old - m_new)
                     d_new = (d_ref[...].reshape(Hkv, GH, 1) * corr
                              + jnp.sum(e, axis=2, keepdims=True))
-                    pv = jax.lax.dot_general(
+                    pv = _mxu_dot(
                         e.astype(v3.dtype), v3,
-                        (((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32)  # [Hkv,GH,D]
+                        (((2,), (1,)), ((0,), (0,))))  # [Hkv,GH,D]
                     a_old = a_ref[...].reshape(Hkv, GH, D)
                     a_ref[...] = (a_old * corr + pv).reshape(Hq, D)
                     m_ref[...] = m_new.reshape(Hq, 1)
@@ -384,10 +418,9 @@ def attn_stage(thr, layer_ref, pos_bs, x3_ref, cs_ref, norm_ref,
                         k_ = kb[slot * Hkv + hh]              # [C, D]
                         v_ = vb[slot * Hkv + hh]
                         q_ = qh_s[hh]                         # [GH, D]
-                        s = jax.lax.dot_general(
+                        s = _mxu_dot(
                             q_.astype(k_.dtype), k_,
-                            (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [GH,C]
+                            (((1,), (1,)), ((), ())))  # [GH,C]
                         s = jnp.where(valid, s, neg)
                         m_old = m_ref[h0:h0 + GH, :]          # [GH, 1]
                         m_new = jnp.maximum(
@@ -397,10 +430,9 @@ def attn_stage(thr, layer_ref, pos_bs, x3_ref, cs_ref, norm_ref,
                         d_ref[h0:h0 + GH, :] = (
                             d_ref[h0:h0 + GH, :] * corr
                             + jnp.sum(e, axis=1, keepdims=True))
-                        pv = jax.lax.dot_general(
+                        pv = _mxu_dot(
                             e.astype(v_.dtype), v_,
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [GH,D]
+                            (((1,), (0,)), ((), ())))  # [GH,D]
                         a_ref[h0:h0 + GH, :] = (
                             a_ref[h0:h0 + GH, :] * corr + pv)
                         m_ref[h0:h0 + GH, :] = m_new
@@ -455,6 +487,7 @@ def attn_stage(thr, layer_ref, pos_bs, x3_ref, cs_ref, norm_ref,
             pltpu.VMEM((Hkv, T, D), vc_ref.dtype),
             pltpu.VMEM((Hkv, ROWTILE, D), kc_ref.dtype),
             pltpu.VMEM((Hkv, ROWTILE, D), vc_ref.dtype),
+            pltpu.VMEM((Hkv, GH, D), jnp.float32),     # staged q heads
             pltpu.SemaphoreType.DMA((1, 2)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

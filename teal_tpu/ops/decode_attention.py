@@ -57,6 +57,16 @@ LANES = 128
 ROWTILE = 8    # aligned T-dim tile for the in-place current-token write
 CHUNK = 256    # T-dim rows per attention DMA (double-buffered)
 
+def _mxu_dot(a, b, dims):
+    """dot_general with fp32-exactness preserved: f32 operands force
+    Precision.HIGHEST (bf16x3 passes, ~exact f32) so fp32-cache configs
+    match the VPU reference; bf16 operands take the native MXU path
+    (the production decode config — zero cost)."""
+    prec = (jax.lax.Precision.HIGHEST if b.dtype == jnp.float32 else None)
+    return jax.lax.dot_general(a, b, dims, precision=prec,
+                               preferred_element_type=jnp.float32)
+
+
 
 def _decode_attn_kernel(layer_ref, pos_ref, q_ref, kn_ref, vn_ref,
                         kc_in, vc_in, o_ref, kc_ref, vc_ref, *,
@@ -70,9 +80,10 @@ def _decode_attn_kernel(layer_ref, pos_ref, q_ref, kn_ref, vn_ref,
     Hq = Hkv * G
     neg = jnp.float32(-1e30)
 
-    def oneshot_body(kb, vb, kpb, vpb, sem, psem, wsem):
+    def oneshot_body(kb, vb, kpb, vpb, qh_s, sem, psem, wsem):
         """Static single-chunk case (C == T): one slab DMA + one-pass
-        softmax per head — no online-accumulation state or fix-up loop."""
+        softmax — MXU dots over heads (batched for MHA, per-kv-head
+        [G, T] for GQA), no online-accumulation state."""
         li = layer_ref[0]
 
         def bloop(b, _):
@@ -105,34 +116,69 @@ def _decode_attn_kernel(layer_ref, pos_ref, q_ref, kn_ref, vn_ref,
             # (the tile write only changes row pos, which the slab scores
             # below mask out — any interleaving is harmless)
 
-            tpos = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
-            valid = tpos < pos_b            # current token handled apart
-            if window is not None:
-                valid &= tpos > pos_b - window
+            # stage sequence b's q heads (scale folded) for MXU dots
+            for hh in range(Hkv):
+                for g in range(G):
+                    qh_s[hh, g:g + 1, :] = (
+                        q_ref[b * Hq + hh * G + g].astype(jnp.float32)
+                        * scale)
             ck.wait()
             cv.wait()
 
-            def hloop(hh, _):
-                k = kb[hh].astype(jnp.float32)            # [T, D]
-                v = vb[hh].astype(jnp.float32)
-                kn = kn_ref[b * Hkv + hh].astype(jnp.float32)   # [1, D]
-                vn = vn_ref[b * Hkv + hh].astype(jnp.float32)
-                for g in range(G):
-                    qi = b * Hq + hh * G + g
-                    qv = q_ref[qi].astype(jnp.float32)    # [1, D]
-                    s = jnp.sum(k * qv, axis=1, keepdims=True) * scale
-                    s = jnp.where(valid, s, neg)          # [T, 1]
-                    sc = jnp.sum(kn * qv) * scale         # current token
-                    m = jnp.maximum(jnp.max(s), sc)
+            if G == 1:
+                tpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, T), 2)
+                valid = tpos < pos_b        # current token handled apart
+                if window is not None:
+                    valid &= tpos > pos_b - window
+                k3, v3 = kb[...], vb[...]              # [Hkv, T, D]
+                s = _mxu_dot(
+                    qh_s[...].astype(k3.dtype), k3,
+                    (((2,), (2,)), ((0,), (0,))))  # [Hkv, G, T]
+                s = jnp.where(valid, s, neg)
+                m = jnp.max(s, axis=2, keepdims=True)
+                e = jnp.where(valid, jnp.exp(s - m), 0.0)
+                d_ = jnp.sum(e, axis=2, keepdims=True)
+                pvv = _mxu_dot(
+                    e.astype(v3.dtype), v3,
+                    (((2,), (1,)), ((0,), (0,))))  # [Hkv, G, D]
+                for hh in range(Hkv):
+                    kn = kn_ref[b * Hkv + hh].astype(jnp.float32)
+                    vn = vn_ref[b * Hkv + hh].astype(jnp.float32)
+                    q_ = qh_s[hh]                        # [G, D]
+                    sc = jnp.sum(q_ * kn, axis=1, keepdims=True)
+                    m_f = jnp.maximum(m[hh], sc)
+                    corr = jnp.exp(m[hh] - m_f)
+                    ec = jnp.exp(sc - m_f)
+                    den = d_[hh] * corr + ec
+                    out = (pvv[hh] * corr + ec * vn) * (1.0 / den)
+                    for g in range(G):
+                        o_ref[b * Hq + hh * G + g] = out[g:g + 1, :]
+            else:
+                tpos = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+                valid = tpos < pos_b
+                if window is not None:
+                    valid &= tpos > pos_b - window
+                for hh in range(Hkv):
+                    k_, v_ = kb[hh], vb[hh]              # [T, D]
+                    q_ = qh_s[hh]                        # [G, D]
+                    s = _mxu_dot(
+                        q_.astype(k_.dtype), k_,
+                        (((1,), (1,)), ((), ())))  # [G, T]
+                    s = jnp.where(valid, s, neg)
+                    kn = kn_ref[b * Hkv + hh].astype(jnp.float32)
+                    vn = vn_ref[b * Hkv + hh].astype(jnp.float32)
+                    sc = jnp.sum(q_ * kn, axis=1, keepdims=True)
+                    m = jnp.maximum(
+                        jnp.max(s, axis=1, keepdims=True), sc)
                     e = jnp.where(valid, jnp.exp(s - m), 0.0)
                     ec = jnp.exp(sc - m)
-                    den = jnp.sum(e) + ec
-                    o_ref[qi] = (
-                        jnp.sum(v * e, axis=0, keepdims=True) + ec * vn
-                    ) * (1.0 / den)
-                return ()
-
-            jax.lax.fori_loop(0, Hkv, hloop, ())
+                    den = jnp.sum(e, axis=1, keepdims=True) + ec
+                    pvv = _mxu_dot(
+                        e.astype(v_.dtype), v_,
+                        (((1,), (0,)), ((), ())))  # [G, D]
+                    out = (pvv + ec * vn) * (1.0 / den)
+                    for g in range(G):
+                        o_ref[b * Hq + hh * G + g] = out[g:g + 1, :]
             wk.wait()
             wv.wait()
             return ()
@@ -225,10 +271,9 @@ def _decode_attn_kernel(layer_ref, pos_ref, q_ref, kn_ref, vn_ref,
                         valid &= tpos > pos_b - window
                     k3 = kb[pl.ds(slot * Hkv, Hkv)]         # [Hkv, C, D]
                     v3 = vb[pl.ds(slot * Hkv, Hkv)]
-                    s = jax.lax.dot_general(
+                    s = _mxu_dot(
                         qh_s[...].astype(k3.dtype), k3,
-                        (((2,), (2,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32)  # [Hkv,G,C]
+                        (((2,), (2,)), ((0,), (0,))))  # [Hkv,G,C]
                     s = jnp.where(valid, s, neg)
                     m_old = m_ref[...].reshape(Hkv, G, 1)
                     m_new = jnp.maximum(
@@ -237,10 +282,9 @@ def _decode_attn_kernel(layer_ref, pos_ref, q_ref, kn_ref, vn_ref,
                     corr = jnp.exp(m_old - m_new)
                     d_new = (d_ref[...].reshape(Hkv, G, 1) * corr
                              + jnp.sum(e, axis=2, keepdims=True))
-                    pv = jax.lax.dot_general(
+                    pv = _mxu_dot(
                         e.astype(v3.dtype), v3,
-                        (((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32)  # [Hkv,G,D]
+                        (((2,), (1,)), ((0,), (0,))))  # [Hkv,G,D]
                     a_old = a_ref[...].reshape(Hkv, G, D)
                     a_ref[...] = (a_old * corr + pv).reshape(Hq, D)
                     m_ref[...] = m_new.reshape(Hq, 1)
@@ -257,10 +301,9 @@ def _decode_attn_kernel(layer_ref, pos_ref, q_ref, kn_ref, vn_ref,
                         k_ = kb[slot * Hkv + hh]              # [C, D]
                         v_ = vb[slot * Hkv + hh]
                         q_ = qh_s[hh]                         # [G, D]
-                        s = jax.lax.dot_general(
+                        s = _mxu_dot(
                             q_.astype(k_.dtype), k_,
-                            (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [G,C]
+                            (((1,), (1,)), ((), ())))  # [G,C]
                         s = jnp.where(valid, s, neg)
                         m_old = m_ref[h0:h0 + G, :]           # [G, 1]
                         m_new = jnp.maximum(
@@ -270,10 +313,9 @@ def _decode_attn_kernel(layer_ref, pos_ref, q_ref, kn_ref, vn_ref,
                         d_ref[h0:h0 + G, :] = (
                             d_ref[h0:h0 + G, :] * corr
                             + jnp.sum(e, axis=1, keepdims=True))
-                        pv = jax.lax.dot_general(
+                        pv = _mxu_dot(
                             e.astype(v_.dtype), v_,
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [G,D]
+                            (((1,), (0,)), ((), ())))  # [G,D]
                         a_ref[h0:h0 + G, :] = (
                             a_ref[h0:h0 + G, :] * corr + pv)
                         m_ref[h0:h0 + G, :] = m_new
@@ -311,6 +353,7 @@ def _decode_attn_kernel(layer_ref, pos_ref, q_ref, kn_ref, vn_ref,
             pltpu.VMEM((Hkv, T, D), vc_ref.dtype),
             pltpu.VMEM((Hkv, ROWTILE, D), kc_ref.dtype),
             pltpu.VMEM((Hkv, ROWTILE, D), vc_ref.dtype),
+            pltpu.VMEM((Hkv, G, D), jnp.float32),      # staged scaled q
             pltpu.SemaphoreType.DMA((1, 2)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

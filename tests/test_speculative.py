@@ -159,14 +159,17 @@ def test_block_verify_matches_dense_forward():
                                    jnp.float32)
         th = llama.zero_thresholds(cfg)
         assert llama.can_block_verify(params, cfg, 5)
-        for p in (0, 7, 16):
+        for p, s in ((0, 5), (7, 5), (16, 5), (0, 9), (5, 12)):
+            # s > 8 exercises the multi-chunk path (later chunks attend
+            # to earlier chunks' kv through the cache)
             cache = llama.KVCache.init(cfg, 1, 48, jnp.float32)
             cache = llama.KVCache(
                 k=jax.random.normal(jax.random.PRNGKey(p),
                                     cache.k.shape, jnp.float32) * 0.1,
                 v=jax.random.normal(jax.random.PRNGKey(p + 1),
                                     cache.v.shape, jnp.float32) * 0.1)
-            toks = jnp.asarray([[3, 9, 11, 2, 7]], jnp.int32)
+            toks = jnp.asarray([[(3 * i + 1) % 127 for i in range(s)]],
+                               jnp.int32)
             with pltpu.force_tpu_interpret_mode():
                 got, cg = llama.block_verify(params, toks, cache, p, th,
                                              cfg=cfg)
@@ -174,11 +177,14 @@ def test_block_verify_matches_dense_forward():
                                     sp=SparsityConfig(enabled=False))
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(ref), rtol=3e-4, atol=3e-4,
-                err_msg=f"H{nh}/{nkv} pos={p}")
+                err_msg=f"H{nh}/{nkv} pos={p} s={s}")
+            # multi-chunk rows recompute kv in separate launches with
+            # different fp32 reduction orders -> ~1e-6 drift
             np.testing.assert_allclose(np.asarray(cg.k), np.asarray(cr.k),
-                                       rtol=1e-5, atol=1e-6)
+                                       rtol=1e-4, atol=5e-6,
+                                       err_msg=f"H{nh}/{nkv} pos={p} s={s}")
             np.testing.assert_allclose(np.asarray(cg.v), np.asarray(cr.v),
-                                       rtol=1e-5, atol=1e-6)
+                                       rtol=1e-4, atol=5e-6)
 
 
 @pytest.mark.slow
