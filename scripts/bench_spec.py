@@ -36,6 +36,11 @@ def main():
                     help="smoke the harness on CPU with the tiny config")
     ap.add_argument("--max-new", type=int, default=96)
     ap.add_argument("--max-seq", type=int, default=256)
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 weight-only self-speculation rows "
+                         "(lossless over the int8-dense baseline: draft "
+                         "int8+sparse, verify int8 dense via the token "
+                         "kernel)")
     args = ap.parse_args()
 
     import jax
@@ -64,7 +69,9 @@ def main():
 
     model = "tiny" if args.cpu_tiny else "7B"
     dtype = jnp.float32 if args.cpu_tiny else jnp.bfloat16
-    cfg, params = benchmod.build(model, args.max_seq, dtype)
+    weights = "int8" if args.int8 else "bf16"
+    cfg, params = benchmod.build(model, args.max_seq, dtype,
+                                 weights=weights)
 
     # dense decode baseline (same slope protocol as bench.py)
     dense = benchmod.decode_tps(

@@ -106,6 +106,37 @@ def test_serving_with_sparsity(tiny):
     assert all(len(r.out) == 4 for r in finished)
 
 
+def test_serving_on_tp_mesh_matches_unsharded():
+    """Continuous batching over a TENSOR-PARALLEL mesh (the
+    serving-across-hosts topology): the engine's jitted prefill/decode
+    programs run on tp-sharded params + a head-sharded cache with
+    GSPMD inserting the collectives; greedy outputs match the
+    unsharded engine token-for-token."""
+    from teal_tpu.config import get_model_config
+    from teal_tpu.parallel import make_mesh
+    from teal_tpu.parallel import tp as tp_mod
+
+    cfg = get_model_config("tiny", dim=256, intermediate_size=384,
+                           n_heads=4, n_kv_heads=4, vocab_size=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(6), jnp.float32)
+
+    def run(p, cache_shard=None):
+        eng = ContinuousBatchingEngine(
+            cfg, p, slots=2, max_seq=32, temperature=0.0,
+            cache_dtype=jnp.float32)
+        if cache_shard is not None:
+            eng.cache = cache_shard(eng.cache)
+        eng.submit([1, 2, 3], 5)
+        eng.submit([7, 5], 5)
+        return [r.out for r in sorted(eng.run(), key=lambda r: r.id)]
+
+    ref = run(params)
+    mesh = make_mesh(tp=4, dp=1, devices=jax.devices()[:4])
+    sharded = tp_mod.shard_params(params, mesh, cfg)
+    got = run(sharded, cache_shard=lambda c: tp_mod.shard_cache(c, mesh))
+    assert ref == got
+
+
 def test_serving_b_gt_8_two_launch():
     """slots > 8: the decode step runs two token-kernel launches per
     step (8 + rest) against one cache; requests still finish correctly."""
