@@ -486,6 +486,17 @@ def main():
     ) * cfg.n_layers * bytes_per_w / 1e9
 
     dense_sp = SparsityConfig(enabled=False)
+    if args.weights == "int4":
+        # int4 "dense" = the token kernel at FULL capacity (identity
+        # selection) — the production int4-dense route. The enabled=False
+        # path (per-layer 4-launch kernels in a loop) dies with INTERNAL
+        # on the current runtime while every token-kernel int4 program
+        # runs (experiments/int4_bisect.py --case loop-token vs the
+        # round-4 bench log); and the pure-XLA dequant path both
+        # rematerializes bf16 weights and also dies at 7B scale.
+        dense_sp = SparsityConfig(
+            enabled=True, kernel="block", block_size=args.block_size,
+            block_keep_frac=1.0, block_thresholding=True)
     tps_dense = None
     if "dense" in args.phases:
         log("phase: dense")

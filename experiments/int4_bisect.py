@@ -131,6 +131,10 @@ def main():
             "loop-token-nodonate": SparsityConfig(
                 enabled=True, kernel="block", block_size=128,
                 block_keep_frac=0.5, block_thresholding=True),
+            # bench.py's int4 "dense" baseline shape before round 4:
+            # enabled=False routes the per-layer 4-launch kernels at
+            # full capacity inside the decode loop
+            "loop-dense": SparsityConfig(enabled=False),
         }
         names = [args.case] if args.case else list(cases)
         cfg, params = build("7B", 256, jnp.bfloat16, weights="int4",
@@ -143,7 +147,7 @@ def main():
         for name in names:
             cache = KVCache.init(cfg, 1, 256, jnp.bfloat16)
             sp = cases[name]
-            if name.startswith("loop-token"):
+            if name.startswith("loop-"):
                 donate = () if name.endswith("nodonate") else (1,)
 
                 @functools.partial(jax.jit, donate_argnums=donate,

@@ -98,7 +98,7 @@ def main():
             shared_cache=shared_cache,
         )
 
-        def measure(max_new):
+        def measure(max_new, reps=4):
             # warm (build_speculative_loop is lru_cached, so only the
             # first call per (row, max_new) pays trace+compile)
             t0 = time.time()
@@ -107,33 +107,42 @@ def main():
                                      draft_cfg, prompt, max_new,
                                      key=jax.random.PRNGKey(0), **kw)
             warm = time.time() - t0
-            best = None
-            for rep in range(3):
+            pts = []
+            last = None
+            for rep in range(reps):
                 t0 = time.perf_counter()
                 with interpret_ctx():
                     toks, stats = speculative_generate(
                         params, draft_params, cfg, draft_cfg, prompt,
                         max_new, key=jax.random.PRNGKey(rep + 1), **kw)
                 dt = time.perf_counter() - t0
-                if best is None or dt < best[0]:
-                    best = (dt, stats)
-            return best[0], best[1], warm
+                pts.append((stats["rounds"], stats["new_tokens"], dt))
+                last = stats
+            return pts, last, warm
 
-        # slope between two generation lengths cancels the per-call
-        # fixed cost (eager prefill + the ~23 ms tunnel dispatch) that
-        # round 3 mistook for a ~400 ms t_round
-        n_s = max(args.max_new // 4, k + 1)
-        dt_l, st_l, warm = measure(args.max_new)
-        dt_s, st_s, _ = measure(n_s)
-        d_tok = st_l["new_tokens"] - st_s["new_tokens"]
-        d_rounds = max(st_l["rounds"] - st_s["rounds"], 1)
-        tps = d_tok / max(dt_l - dt_s, 1e-9)
-        t_round = (dt_l - dt_s) / d_rounds
+        # least-squares slope of wall time over rounds across THREE
+        # generation lengths x 4 reps: the per-call fixed cost (eager
+        # prefill + the ~23 ms tunnel dispatch, both high-variance on
+        # this runtime) lands in the intercept — round 3 mistook it for
+        # a ~400 ms t_round, and a 2-point slope still wobbled +-40%
+        pts, st_l, warm = measure(args.max_new)
+        for n in (max(args.max_new // 2, k + 1),
+                  max(args.max_new // 4, k + 1)):
+            p2, _, _ = measure(n)
+            pts += p2
+        r = np.array([p[0] for p in pts], np.float64)
+        tok = np.array([p[1] for p in pts], np.float64)
+        dt = np.array([p[2] for p in pts], np.float64)
+        A = np.stack([r, np.ones_like(r)], 1)
+        t_round, _ = np.linalg.lstsq(A, dt, rcond=None)[0]
+        tok_per_round, _ = np.linalg.lstsq(A, tok, rcond=None)[0]
+        tps = tok_per_round / max(t_round, 1e-9)
         alpha = st_l["mean_accepted"] / k
         row = {
             "name": name, "k": k, "temperature": temperature,
             "tok_s": round(tps, 2), "t_round_ms": round(t_round * 1e3, 2),
-            "walltime_tok_s": round(st_l["new_tokens"] / dt_l, 2),
+            "walltime_tok_s": round(
+                float(tok[0] / dt[0]), 2),   # one full-length call
             "alpha_measured": round(alpha, 3),
             "speedup_vs_dense": round(tps / dense, 3),
             "tok_s_at_alpha": {

@@ -114,7 +114,8 @@ def _spec_step(pt, pd, cache_t, cache_d, token, pos, th_t, th_d, key, *,
         # pre-transpose the stacked q/k/v stacks (+3 GB at 7B, chip OOM;
         # experiments/spec_hlo_probe.py --shared-cache)
         tlogits, cache_t = llama.block_verify(
-            pt, seq, cache_d, pos, th_t, cfg=target_cfg)
+            pt, seq, cache_d if shared_cache else cache_t, pos, th_t,
+            cfg=target_cfg)
     else:
         tlogits, cache_t = llama.forward(
             pt, seq, cache_d if shared_cache else cache_t, pos, th_t,

@@ -219,6 +219,33 @@ def test_shared_cache_kernel_verify_lossless_greedy():
     np.testing.assert_array_equal(ref[0][:3 + 10], toks[:3 + 10])
 
 
+def test_two_model_spec_kernel_verify():
+    """Two-model speculation (independent tiny draft, head_dim != 128)
+    with the TARGET's verify routed through the kernel — the verify must
+    run on cache_t, not the draft cache (round-4 regression: the
+    kernel-verify call passed cache_d unconditionally)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from teal_tpu.config import SparsityConfig
+
+    tgt = get_model_config("tiny", n_layers=2, n_heads=2, n_kv_heads=2,
+                           dim=256, intermediate_size=384, vocab_size=128)
+    dr = get_model_config("tiny", n_layers=2, n_heads=3, n_kv_heads=3,
+                          dim=144, intermediate_size=256, vocab_size=128)
+    assert dr.head_dim != 128 and tgt.head_dim == 128
+    pt = llama.init_params(tgt, jax.random.PRNGKey(0), jnp.float32)
+    pd = llama.init_params(dr, jax.random.PRNGKey(1), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        toks, st = speculative_generate(
+            pt, pd, tgt, dr, [1, 2, 3], 8, speculate_k=3,
+            temperature=1.0, max_seq=64, cache_dtype=jnp.float32,
+            device_loop=True,
+            target_sp=SparsityConfig(enabled=False),
+            draft_sp=SparsityConfig(enabled=False))
+    assert st["new_tokens"] >= 8
+    assert np.all(toks >= 0) and np.all(toks < tgt.vocab_size)
+
+
 def test_speculative_with_sparse_target(tiny):
     """Speculative decoding composes with activation sparsity on the
     target model (masked-dense accuracy path)."""
