@@ -689,22 +689,19 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
                     batch=1, **td_kw)
                 h = h3.reshape(1, 1, cfg.dim)
             else:
+                # b <= 8 rides one sublane tile; 8 < b <= 16 rides TWO
+                # (a [16, G] MXU lhs) — still ONE launch, weights
+                # streamed once for the whole batch
                 h2 = h.reshape(b, cfg.dim)
-                cs_cos, cs_sin = cos[:, 0], sin[:, 0]
-                kc, vc = cache.k, cache.v
-                hs = []
-                for off in range(0, b, 8):
-                    bb = min(8, b - off)
-                    h3g = _bg.pack_x3_rows(h2[off:off + bb], 128)
-                    h3g, kc, vc = token_block.token_decode(
-                        h3g, thresholds, ws7,
-                        packed_norms["attn"], packed_norms["mlp"],
-                        cs_cos[off:off + bb], cs_sin[off:off + bb],
-                        kc, vc, pos[off:off + bb],
-                        batch=bb, cache_offset=off, **td_kw)
-                    hs.append(jnp.swapaxes(h3g[:, :bb, :], 0, 1)
-                              .reshape(bb, 1, cfg.dim))
-                h = jnp.concatenate(hs, 0) if len(hs) > 1 else hs[0]
+                h3 = _bg.pack_x3_rows(
+                    h2, 128, rows=(8 if b <= 8 else 16))
+                h3, kc, vc = token_block.token_decode(
+                    h3, thresholds, ws7,
+                    packed_norms["attn"], packed_norms["mlp"],
+                    cos[:, 0], sin[:, 0], cache.k, cache.v, pos,
+                    batch=b, **td_kw)
+                h = jnp.swapaxes(h3[:, :b, :], 0, 1) \
+                    .reshape(b, 1, cfg.dim)
             h = rms_norm(h, params["final_norm"], cfg.norm_eps)
             if return_hidden:
                 return h, KVCache(kc, vc)

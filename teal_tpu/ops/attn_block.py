@@ -58,7 +58,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from teal_tpu.ops import decode_attention as _da
-from teal_tpu.ops.block_gemv import (LANES, _gather_loop, _norm_fold,
+from teal_tpu.ops.block_gemv import (LANES, SUBLANES, _gather_loop,
+                                     _norm_fold,
                                      _norm_rows, _plan_weights,
                                      _scoped_buffers, _select_scan,
                                      _slab_copy, _start_dmas)
@@ -235,7 +236,9 @@ def attn_stage(thr, layer_ref, pos_bs, x3_ref, cs_ref, norm_ref,
                     knbuf[h, b:b + 1, :] = rope(col(b, offs[1], h))
                     vnbuf[h, b:b + 1, :] = col(b, offs[2], h)
 
-        scope_args, _unpack = _scoped_buffers(plans, G, depth, offs[-1])
+        scope_args, _unpack = _scoped_buffers(plans, G, depth, offs[-1],
+                                              rows=max(x3_ref.shape[1],
+                                                       SUBLANES))
         pl.run_scoped(gather, *scope_args)
 
         # --- 5: per-sequence in-place cache write + attention ---

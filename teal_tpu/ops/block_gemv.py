@@ -228,10 +228,14 @@ def _accumulate(plan, w_refs, bufs, sems, layer_ref, slot, gidx, xi, acc,
         )
 
 
-def _scoped_buffers(plans, G: int, depth: int, n_out: int):
+def _scoped_buffers(plans, G: int, depth: int, n_out: int,
+                    rows: int = SUBLANES):
     """VMEM slot buffers + DMA semaphores + accumulator for run_scoped.
     Returns (scope_args, unpack) where unpack(scoped) ->
-    (per-weight bufs list, per-weight sems list, acc)."""
+    (per-weight bufs list, per-weight sems list, acc).
+
+    rows: accumulator sublane rows (8 default; 16 for the single-launch
+    B<=16 decode — the MXU lhs is then two sublane tiles)."""
     args = []
     counts = []
     for p in plans:
@@ -241,7 +245,7 @@ def _scoped_buffers(plans, G: int, depth: int, n_out: int):
             args.append(pltpu.VMEM(shape, dt))
     for p in plans:
         args.append(pltpu.SemaphoreType.DMA((depth, p.n_dma)))
-    args.append(pltpu.VMEM((SUBLANES, n_out), jnp.float32))
+    args.append(pltpu.VMEM((rows, n_out), jnp.float32))
 
     def unpack(scoped):
         bufs, k = [], 0
@@ -785,14 +789,16 @@ def pack_x3(x, G: int):
     return x2.at[:, :G].set(x.reshape(nb, G)).reshape(nb, 1, LANES)
 
 
-def pack_x3_rows(x, G: int):
-    """Batched packed rows: [B, K] -> [K//G, 8, 128], batch b's group-g
-    values in sublane row b of tile-row g, lanes [:G], zero beyond
-    (rows >= B stay zero — pooled selection and the MXU see zeros)."""
+def pack_x3_rows(x, G: int, rows: int = SUBLANES):
+    """Batched packed rows: [B, K] -> [K//G, rows, 128], batch b's
+    group-g values in sublane row b of tile-row g, lanes [:G], zero
+    beyond (rows >= B stay zero — pooled selection and the MXU see
+    zeros). rows 8 (one sublane tile) or 16 (B <= 16 single launch)."""
     B, K = x.shape
     nb = K // G
+    assert B <= rows and rows % SUBLANES == 0, (B, rows)
     xg = jnp.swapaxes(x.reshape(B, nb, G), 0, 1)       # [nb, B, G]
-    out = jnp.zeros((nb, SUBLANES, LANES), x.dtype)
+    out = jnp.zeros((nb, rows, LANES), x.dtype)
     return out.at[:, :B, :G].set(xg)
 
 

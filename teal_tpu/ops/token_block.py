@@ -106,7 +106,9 @@ def _proj_stage(thr, layer_ref, x_buf, out_write, plans, w_ref_groups, *,
             _slab_copy(scale_ref, sbuf, s2sem, layer_ref, nbs).wait()
         out_write(acc, sbuf)
 
-    scope_args, _unpack = _scoped_buffers(plans, G, depth, offs[-1])
+    scope_args, _unpack = _scoped_buffers(plans, G, depth, offs[-1],
+                                          rows=max(x_buf.shape[1],
+                                                   SUBLANES))
     extra = []
     if norm_ref is not None:
         extra += [pltpu.VMEM(x_buf.shape, x_buf.dtype),
@@ -368,7 +370,11 @@ def token_decode(x3, thresholds, ws, norm_attn3, norm_mlp3, cos, sin,
     assert (Bc == 1 if seq_block else Bc >= cache_offset + batch) \
         and Dh == LANES and T % ROWTILE == 0, kc_all.shape
     rows = x3.shape[1]
-    assert rows == (1 if batch == 1 else SUBLANES), (x3.shape, batch)
+    # 16 rows = the single-launch B <= 16 decode: the MXU lhs spans two
+    # sublane tiles, weights stream ONCE for all 16 sequences
+    assert rows == (1 if batch == 1 else
+                    SUBLANES if batch <= SUBLANES else 2 * SUBLANES), \
+        (x3.shape, batch)
     nbD = x3.shape[0]
     D = nbD * LANES
     assert n_heads * Dh == D, (n_heads, D)

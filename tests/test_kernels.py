@@ -970,11 +970,14 @@ def test_token_kernel_batched_equivalence():
                                rtol=1e-5, atol=1e-6)
 
 
-def test_token_kernel_b16_two_launch_equivalence():
-    """B > 8 decode runs TWO token-kernel launches (slots 0-7 / 8-B,
-    one pooled selection each) at a static cache_offset against the
-    same cache — == running the two groups as separate batched forwards
-    on their cache slices."""
+def test_token_kernel_b16_single_launch_equivalence():
+    """8 < B <= 16 decode runs ONE token-kernel launch with a [16, G]
+    MXU lhs (two sublane tiles) — weights stream once for the whole
+    batch. Reference: threshold-0 capacity selection keeps the first
+    `cap` groups by index for ANY score pooling, so per-sequence B=1
+    forwards with the same config are an exact reference for the
+    16-row mechanics (packing, dots, accumulator, RoPE, cache writes,
+    per-slot attention)."""
     from teal_tpu.config import get_model_config
     from teal_tpu.models import llama
     from teal_tpu.models.llama import KVCache
@@ -986,7 +989,7 @@ def test_token_kernel_b16_two_launch_equivalence():
     sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
                         block_keep_frac=0.75, block_thresholding=True,
                         fused_decode_attention=True)
-    th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
+    th = jnp.zeros((cfg.n_layers, 7), jnp.float32)
     rng = np.random.default_rng(7)
     pos = jnp.asarray(rng.integers(1, 15, B), jnp.int32)
     cache = KVCache.init(cfg, B, 16, jnp.float32)
@@ -997,24 +1000,16 @@ def test_token_kernel_b16_two_launch_equivalence():
                             jnp.float32) * 0.1)
     tok = jnp.asarray(rng.integers(1, 120, (B, 1)), jnp.int32)
     got, cg = llama.forward(params, tok, cache, pos, th, cfg=cfg, sp=sp)
-    refs, rk, rv = [], [], []
-    for lo in (0, 8):
-        hi = min(lo + 8, B)
-        sub = KVCache(k=cache.k[:, lo:hi], v=cache.v[:, lo:hi])
-        r, cr = llama.forward(params, tok[lo:hi], sub, pos[lo:hi], th,
-                              cfg=cfg, sp=sp)
-        refs.append(r)
-        rk.append(cr.k)
-        rv.append(cr.v)
-    ref = jnp.concatenate(refs, axis=0)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=3e-4, atol=3e-4)
-    np.testing.assert_allclose(
-        np.asarray(cg.k), np.asarray(jnp.concatenate(rk, axis=1)),
-        rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(
-        np.asarray(cg.v), np.asarray(jnp.concatenate(rv, axis=1)),
-        rtol=1e-5, atol=1e-6)
+    for b in range(B):
+        sub = KVCache(k=cache.k[:, b:b + 1], v=cache.v[:, b:b + 1])
+        r, cr = llama.forward(params, tok[b:b + 1], sub, pos[b:b + 1],
+                              th, cfg=cfg, sp=sp)
+        np.testing.assert_allclose(
+            np.asarray(got[b]), np.asarray(r[0]), rtol=3e-4, atol=3e-4,
+            err_msg=f"slot {b}")
+        np.testing.assert_allclose(
+            np.asarray(cg.k[:, b]), np.asarray(cr.k[:, 0]),
+            rtol=1e-5, atol=1e-6)
 
 
 def test_token_kernel_moe_equivalence():
