@@ -526,9 +526,9 @@ def _can_packed_pipeline(params, cfg: ModelConfig, sp: SparsityConfig,
     if sp.packed_pipeline is False or not fused_attn:
         return False
     # b > 1 is served ONLY by the whole-token kernel (batched
-    # attn_stage): b <= 8 rides the MXU lhs sublane rows in one launch,
-    # b <= 16 runs two launches at a static cache_offset; the 4-launch
-    # pipeline is batch-1
+    # attn_stage): b <= 8 rides one MXU sublane tile, 8 < b <= 16 a
+    # [16, G] two-tile lhs — one launch, one weight stream either way;
+    # the 4-launch pipeline is batch-1
     ok_b = b == 1 or (b <= 16 and sp.token_fused is not False)
     if not (s == 1 and ok_b and packed_norms is not None
             and cfg.head_dim == 128
@@ -650,11 +650,10 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
         kf = sp.block_keep_fracs or (sp.block_keep_frac,) * 7
 
         if sp.token_fused is not False:
-            # whole-token kernel: ONE Pallas launch for the entire layer
-            # stack (grid over layers; ops/token_block.py); batched
-            # decode (b <= 8) rides the MXU lhs sublane rows; b <= 16
-            # runs TWO launches (slots 0-7 / 8-15, one pooled selection
-            # each) against the same cache via a static cache_offset
+            # whole-token kernel: ONE Pallas launch for the entire
+            # layer stack (grid over layers; ops/token_block.py);
+            # batch rows ride the MXU lhs sublanes (one tile for
+            # b <= 8, two for b <= 16) through one pooled selection
             from teal_tpu.ops import token_block
 
             cap_ = _block_capacity
