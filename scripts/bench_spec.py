@@ -136,7 +136,15 @@ def main():
         A = np.stack([r, np.ones_like(r)], 1)
         t_round, _ = np.linalg.lstsq(A, dt, rcond=None)[0]
         tok_per_round, _ = np.linalg.lstsq(A, tok, rcond=None)[0]
-        tps = tok_per_round / max(t_round, 1e-9)
+        noisy = t_round <= 1e-4   # slope swamped by per-call variance
+        if noisy:
+            # fall back to the fastest full-length wall time (includes
+            # the fixed cost — an UNDER-estimate of the true tok/s)
+            i = int(np.argmin(dt[:4]))
+            t_round = dt[i] / max(r[i], 1)
+            tps = tok[i] / dt[i]
+        else:
+            tps = tok_per_round / max(t_round, 1e-9)
         alpha = st_l["mean_accepted"] / k
         row = {
             "name": name, "k": k, "temperature": temperature,
@@ -150,6 +158,8 @@ def main():
                 for a in (0.5, 0.7, 0.85)
             },
         }
+        if noisy:
+            row["noisy_slope_walltime_fallback"] = True
         rows.append(row)
         log(f"  [{name}] k={k} T={temperature}: {tps:.1f} tok/s slope "
             f"({tps/dense:.2f}x; walltime {row['walltime_tok_s']}), "
