@@ -627,26 +627,28 @@ def _selfspec_row(cfg, params, max_seq, k=4, max_new=128):
               target_sp=SparsityConfig(enabled=False), draft_sp=draft_sp,
               cache_dtype=jnp.bfloat16, device_loop=True)
 
-    def measure(n):
-        def run(key):
-            return speculative_generate(params, params, cfg, cfg,
-                                        prompt, n, key=key, **kw)
+    def run(n, key):
+        return speculative_generate(params, params, cfg, cfg,
+                                    prompt, n, key=key, **kw)
 
-        _retry_transient(lambda: run(jax.random.PRNGKey(0)))   # warm
-        best = None
-        for rep in range(3):
+    # min-per-length slope with INTERLEAVED reps (scripts/bench_spec.py
+    # protocol): per-program fixed-cost drift cancels, one-sided delay
+    # noise is rejected by the min
+    lengths = (max_new, max(max_new // 4, k + 1))
+    for n in lengths:   # warm: trace + compile each program once
+        _retry_transient(lambda n=n: run(n, jax.random.PRNGKey(0)))
+    best = {n: (float("inf"), None) for n in lengths}
+    for rep in range(4):
+        for n in lengths:
             t0 = time.perf_counter()
-            _, st = run(jax.random.PRNGKey(rep + 1))
+            _, st = run(n, jax.random.PRNGKey(rep + 1))
             dt = time.perf_counter() - t0
-            if best is None or dt < best[0]:
-                best = (dt, st)
-        return best
-
-    dt_l, st_l = measure(max_new)
-    dt_s, st_s = measure(max(max_new // 4, k + 1))
+            if dt < best[n][0]:
+                best[n] = (dt, st)
+    (dt_l, st_l), (dt_s, st_s) = best[lengths[0]], best[lengths[1]]
     d_tok = st_l["new_tokens"] - st_s["new_tokens"]
     d_rounds = max(st_l["rounds"] - st_s["rounds"], 1)
-    t_round = (dt_l - dt_s) / d_rounds
+    t_round = max((dt_l - dt_s) / d_rounds, 1e-6)
     return {
         "tok_s": round(d_tok / max(dt_l - dt_s, 1e-9), 2),
         "t_round_ms": round(t_round * 1e3, 2),

@@ -98,41 +98,41 @@ def main():
             shared_cache=shared_cache,
         )
 
-        def measure(max_new, reps=4):
-            # warm (build_speculative_loop is lru_cached, so only the
-            # first call per (row, max_new) pays trace+compile)
-            t0 = time.time()
+        def one(max_new, rep):
+            t0 = time.perf_counter()
+            with interpret_ctx():
+                toks, stats = speculative_generate(
+                    params, draft_params, cfg, draft_cfg, prompt,
+                    max_new, key=jax.random.PRNGKey(rep + 1), **kw)
+            return time.perf_counter() - t0, stats
+
+        # slope of MIN wall time over rounds across three generation
+        # lengths, reps INTERLEAVED across lengths: the per-call fixed
+        # cost (eager prefill + ~23 ms tunnel dispatch) lands in the
+        # intercept, min-per-length rejects the one-sided delay noise,
+        # and interleaving cancels systematic drift between programs
+        # (round 3 mistook the fixed cost for a ~400 ms t_round; a
+        # plain 2-point or all-reps LSQ slope still wobbled +-40%)
+        lengths = sorted({args.max_new, max(args.max_new // 2, k + 1),
+                          max(args.max_new // 4, k + 1)}, reverse=True)
+        t0 = time.time()
+        for n in lengths:   # warm: trace + compile each program once
             with interpret_ctx():
                 speculative_generate(params, draft_params, cfg,
-                                     draft_cfg, prompt, max_new,
+                                     draft_cfg, prompt, n,
                                      key=jax.random.PRNGKey(0), **kw)
-            warm = time.time() - t0
-            pts = []
-            last = None
-            for rep in range(reps):
-                t0 = time.perf_counter()
-                with interpret_ctx():
-                    toks, stats = speculative_generate(
-                        params, draft_params, cfg, draft_cfg, prompt,
-                        max_new, key=jax.random.PRNGKey(rep + 1), **kw)
-                dt = time.perf_counter() - t0
-                pts.append((stats["rounds"], stats["new_tokens"], dt))
-                last = stats
-            return pts, last, warm
-
-        # least-squares slope of wall time over rounds across THREE
-        # generation lengths x 4 reps: the per-call fixed cost (eager
-        # prefill + the ~23 ms tunnel dispatch, both high-variance on
-        # this runtime) lands in the intercept — round 3 mistook it for
-        # a ~400 ms t_round, and a 2-point slope still wobbled +-40%
-        pts, st_l, warm = measure(args.max_new)
-        for n in (max(args.max_new // 2, k + 1),
-                  max(args.max_new // 4, k + 1)):
-            p2, _, _ = measure(n)
-            pts += p2
-        r = np.array([p[0] for p in pts], np.float64)
-        tok = np.array([p[1] for p in pts], np.float64)
-        dt = np.array([p[2] for p in pts], np.float64)
+        warm = time.time() - t0
+        best = {n: (np.inf, None) for n in lengths}
+        for rep in range(4):
+            for n in lengths:
+                dt_, st_ = one(n, rep)
+                if dt_ < best[n][0]:
+                    best[n] = (dt_, st_)
+        st_l = best[lengths[0]][1]
+        r = np.array([best[n][1]["rounds"] for n in lengths], np.float64)
+        tok = np.array([best[n][1]["new_tokens"] for n in lengths],
+                       np.float64)
+        dt = np.array([best[n][0] for n in lengths], np.float64)
         A = np.stack([r, np.ones_like(r)], 1)
         t_round, _ = np.linalg.lstsq(A, dt, rcond=None)[0]
         tok_per_round, _ = np.linalg.lstsq(A, tok, rcond=None)[0]
@@ -140,9 +140,8 @@ def main():
         if noisy:
             # fall back to the fastest full-length wall time (includes
             # the fixed cost — an UNDER-estimate of the true tok/s)
-            i = int(np.argmin(dt[:4]))
-            t_round = dt[i] / max(r[i], 1)
-            tps = tok[i] / dt[i]
+            t_round = dt[0] / max(r[0], 1)
+            tps = tok[0] / dt[0]
         else:
             tps = tok_per_round / max(t_round, 1e-9)
         alpha = st_l["mean_accepted"] / k
