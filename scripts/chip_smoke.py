@@ -319,11 +319,12 @@ def block_verify_rows():
                                 sp=SparsityConfig(enabled=False))
         # row i's kv feeds rows > i inside the block, so MXU rounding
         # compounds through the in-block attention chain (measured
-        # 3.8e-3 on chip at s=4; interpret-mode CI pins exact semantics)
+        # 3.8e-3 on chip at s=4, logits AND cache; interpret-mode CI
+        # pins exact semantics)
         _close(got, ref, 6e-3, f"block_verify pos={p}")
         np.testing.assert_allclose(np.asarray(jax.device_get(cg.k)),
                                    np.asarray(jax.device_get(cr.k)),
-                                   rtol=1e-2, atol=2e-3)
+                                   rtol=1e-2, atol=6e-3)
 
 
 @variant
