@@ -627,16 +627,16 @@ def _selfspec_row(cfg, params, max_seq, k=4, max_new=128):
               target_sp=SparsityConfig(enabled=False), draft_sp=draft_sp,
               cache_dtype=jnp.bfloat16, device_loop=True)
 
-    def run(n, key):
+    def run(n_target, key):
         return speculative_generate(params, params, cfg, cfg,
-                                    prompt, n, key=key, **kw)
+                                    prompt, max_new, n_target=n_target,
+                                    key=key, **kw)
 
-    # min-per-length slope with INTERLEAVED reps (scripts/bench_spec.py
-    # protocol): per-program fixed-cost drift cancels, one-sided delay
-    # noise is rejected by the min
-    lengths = (max_new, max(max_new // 4, k + 1))
-    for n in lengths:   # warm: trace + compile each program once
-        _retry_transient(lambda n=n: run(n, jax.random.PRNGKey(0)))
+    # min-per-length slope through ONE executable (traced n_target loop
+    # bound — per-program switch costs on this runtime poison any
+    # cross-program slope; scripts/bench_spec.py protocol)
+    lengths = (max_new - 1, max(max_new // 4, k + 1))
+    _retry_transient(lambda: run(lengths[0], jax.random.PRNGKey(0)))
     best = {n: (float("inf"), None) for n in lengths}
     for rep in range(4):
         for n in lengths:

@@ -98,29 +98,31 @@ def main():
             shared_cache=shared_cache,
         )
 
-        def one(max_new, rep):
+        def one(n_target, rep):
             t0 = time.perf_counter()
             with interpret_ctx():
                 toks, stats = speculative_generate(
                     params, draft_params, cfg, draft_cfg, prompt,
-                    max_new, key=jax.random.PRNGKey(rep + 1), **kw)
+                    args.max_new, n_target=n_target,
+                    key=jax.random.PRNGKey(rep + 1), **kw)
             return time.perf_counter() - t0, stats
 
         # slope of MIN wall time over rounds across three generation
-        # lengths, reps INTERLEAVED across lengths: the per-call fixed
-        # cost (eager prefill + ~23 ms tunnel dispatch) lands in the
-        # intercept, min-per-length rejects the one-sided delay noise,
-        # and interleaving cancels systematic drift between programs
-        # (round 3 mistook the fixed cost for a ~400 ms t_round; a
-        # plain 2-point or all-reps LSQ slope still wobbled +-40%)
-        lengths = sorted({args.max_new, max(args.max_new // 2, k + 1),
+        # lengths through ONE executable (the loop bound is a traced
+        # n_target): the per-call fixed cost (eager prefill + ~23 ms
+        # tunnel dispatch) lands in the intercept, and no per-program
+        # switch cost exists to poison the slope (cross-program
+        # protocols wobbled 2-40x on this runtime; round 3 mistook the
+        # fixed cost itself for a ~400 ms t_round)
+        lengths = sorted({args.max_new - 1,
+                          max(args.max_new // 2, k + 1),
                           max(args.max_new // 4, k + 1)}, reverse=True)
         t0 = time.time()
-        for n in lengths:   # warm: trace + compile each program once
-            with interpret_ctx():
-                speculative_generate(params, draft_params, cfg,
-                                     draft_cfg, prompt, n,
-                                     key=jax.random.PRNGKey(0), **kw)
+        with interpret_ctx():   # warm: ONE trace + compile
+            speculative_generate(params, draft_params, cfg, draft_cfg,
+                                 prompt, args.max_new,
+                                 n_target=lengths[0],
+                                 key=jax.random.PRNGKey(0), **kw)
         warm = time.time() - t0
         best = {n: (np.inf, None) for n in lengths}
         for rep in range(4):

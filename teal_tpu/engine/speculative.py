@@ -254,13 +254,21 @@ def build_speculative_loop(
     if shared_cache:
         assert shared_params, "shared_cache requires shared params"
 
-    def run_impl(pt, pd, cache_t, cache_d, token, pos, th_t, th_d, key):
+    def run_impl(pt, pd, cache_t, cache_d, token, pos, th_t, th_d, key,
+                 n_target):
         out_buf = jnp.zeros((max_new_tokens + k,), jnp.int32)
         pos = jnp.asarray(pos, jnp.int32).reshape(())
+        # n_target (traced, <= max_new_tokens) bounds the loop WITHOUT
+        # recompiling: benches sweep generation lengths through ONE
+        # executable (per-program switch costs on the tunnel runtime
+        # are 0.1-1 s and non-deterministic — they poisoned every
+        # cross-program slope protocol)
+        bound = jnp.minimum(jnp.asarray(n_target, jnp.int32),
+                            max_new_tokens)
 
         def cond(state):
             n_out, pos, *_ = state
-            return (n_out < max_new_tokens) & (pos + k + 1 < max_seq)
+            return (n_out < bound) & (pos + k + 1 < max_seq)
 
         def body(state):
             n_out, pos, out_buf, token, cache_t, cache_d, key, rounds = state
@@ -289,20 +297,30 @@ def build_speculative_loop(
 
     if shared_cache:
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def one_cache(p, cache, token, pos, th_t, th_d, key):
+        def one_cache(p, cache, token, pos, th_t, th_d, key,
+                      n_target=max_new_tokens):
             *out, cache_t, _ = run_impl(p, p, cache, None, token, pos,
-                                        th_t, th_d, key)
+                                        th_t, th_d, key, n_target)
             return (*out, cache_t)
 
         return lambda pt, pd, cache_t, cache_d, *rest: \
             one_cache(pt, cache_t, *rest)
     if shared_params:
         shared = jax.jit(
-            lambda p, cache_t, cache_d, token, pos, th_t, th_d, key:
-            run_impl(p, p, cache_t, cache_d, token, pos, th_t, th_d, key),
+            lambda p, cache_t, cache_d, token, pos, th_t, th_d, key,
+            n_target=max_new_tokens:
+            run_impl(p, p, cache_t, cache_d, token, pos, th_t, th_d, key,
+                     n_target),
             donate_argnums=(1, 2))
         return lambda pt, pd, *rest: shared(pt, *rest)
-    return jax.jit(run_impl, donate_argnums=(2, 3))
+
+    @functools.partial(jax.jit, donate_argnums=(2, 3))
+    def two(pt, pd, cache_t, cache_d, token, pos, th_t, th_d, key,
+            n_target=max_new_tokens):
+        return run_impl(pt, pd, cache_t, cache_d, token, pos, th_t,
+                        th_d, key, n_target)
+
+    return two
 
 
 def speculative_generate(
@@ -323,6 +341,7 @@ def speculative_generate(
     cache_dtype=jnp.bfloat16,
     device_loop: bool = False,
     shared_cache: Optional[bool] = None,
+    n_target: Optional[int] = None,
 ) -> Tuple[np.ndarray, dict]:
     """Returns (all tokens [T+new], stats).
 
@@ -330,7 +349,10 @@ def speculative_generate(
     device_loop=True: the whole generation is one on-device while_loop
     program with a single host sync (build_speculative_loop).
     shared_cache: one KV cache for draft+target (module docstring);
-    default: on exactly when the params are shared (self-speculation)."""
+    default: on exactly when the params are shared (self-speculation).
+    n_target (device_loop only): dynamically bound the generation to
+    n_target < max_new_tokens WITHOUT recompiling — benches sweep
+    lengths through one executable."""
     if key is None:
         key = jax.random.PRNGKey(0)
     shared_params = target_params is draft_params
@@ -379,6 +401,7 @@ def speculative_generate(
         out_buf, n_out, rounds, _, *_ = run(
             target_params, draft_params, cache_t, cache_d, cur, t,
             th_t, th_d, key,
+            *(() if n_target is None else (n_target,)),
         )
         n = int(n_out)
         r = max(int(rounds), 1)
