@@ -219,6 +219,26 @@ def test_shared_cache_kernel_verify_lossless_greedy():
     np.testing.assert_array_equal(ref[0][:3 + 10], toks[:3 + 10])
 
 
+def test_device_loop_dynamic_n_target(tiny):
+    """The while_loop bound is a traced n_target: one executable serves
+    shorter generations (benches sweep lengths without recompiling) and
+    the output still matches the full-length prefix under greedy."""
+    cfg, params = tiny
+    full, _ = speculative_generate(
+        params, params, cfg, cfg, [5, 2, 7], 16,
+        speculate_k=3, temperature=0.0, max_seq=64,
+        cache_dtype=jnp.float32, key=jax.random.PRNGKey(9),
+        device_loop=True)
+    short, st = speculative_generate(
+        params, params, cfg, cfg, [5, 2, 7], 16,
+        speculate_k=3, temperature=0.0, max_seq=64,
+        cache_dtype=jnp.float32, key=jax.random.PRNGKey(9),
+        device_loop=True, n_target=6)
+    n = len(short) - 3
+    assert 6 <= n - 1 <= 6 + 3 + 1   # bound + up to k+1 overshoot
+    np.testing.assert_array_equal(full[:len(short)], short)
+
+
 def test_two_model_spec_kernel_verify():
     """Two-model speculation (independent tiny draft, head_dim != 128)
     with the TARGET's verify routed through the kernel — the verify must
