@@ -5,16 +5,26 @@ The single-process dryrun (__graft_entry__.dryrun_multichip) validates
 sharding/collectives on one process's virtual devices; this script
 additionally validates the MULTI-HOST code path — jax.distributed
 coordinator handshake, cross-process device enumeration, a global mesh
-spanning both processes, process-local data placement, and a GSPMD
-decode step whose all-reduces cross the process boundary (DCN-analog).
+spanning both processes, process-local data placement, and programs
+whose collectives cross the process boundary (DCN-analog).
+
+Legs (--leg, each a fresh 2-process run; VERDICT r4 #7):
+  gspmd     — GSPMD decode step on a dp=2 x tp=4 mesh (all-reduce
+              crosses processes through the dp axis placement)
+  kernel-tp — tp=8 kernel-path decode (shard_map + Pallas gather
+              kernels in interpret mode; the per-layer psums ride the
+              cross-process axis)
+  pp        — pp=2 x tp=4 GPipe prefill: the stage boundary IS the
+              process boundary, hidden states ppermute across it
+  serving   — ContinuousBatchingEngine on a tp=8 global mesh: both
+              processes run the identical host scheduling loop (SPMD
+              host code), admission + batched decode cross-process
 
 Usage (driver/worker auto-fork):
-    timeout 900 python experiments/multihost_dryrun.py
-Each process embeds 4 virtual CPU devices; the global mesh is
-dp=2 (one batch shard per "host") x tp=4, matching the 70B deployment
-recipe in parallel/distributed.global_mesh.
+    timeout 900 python experiments/multihost_dryrun.py [--leg NAME]
 """
 
+import argparse
 import os
 import subprocess
 import sys
@@ -24,24 +34,13 @@ sys.path.insert(0, REPO)
 
 N_PROC = 2
 LOCAL_DEVICES = 4
-PORT = 9764
+LEGS = ("gspmd", "kernel-tp", "pp", "serving")
+BASE_PORT = 9764
 
 
-def worker(pid: int) -> None:
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = (
-        f"--xla_force_host_platform_device_count={LOCAL_DEVICES}")
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-    from teal_tpu.parallel.distributed import initialize_distributed
-
-    initialize_distributed(coordinator_address=f"127.0.0.1:{PORT}",
-                           num_processes=N_PROC, process_id=pid)
-    assert jax.process_count() == N_PROC, jax.process_count()
-    assert jax.device_count() == N_PROC * LOCAL_DEVICES
-
+def _leg_gspmd(pid, mesh_unused):
     import numpy as np
+    import jax
     import jax.numpy as jnp
 
     from teal_tpu.config import SparsityConfig, get_model_config
@@ -55,8 +54,7 @@ def worker(pid: int) -> None:
     mesh = global_mesh(tp=LOCAL_DEVICES, dp=N_PROC)
 
     # every process computes the same init (same seed) and device_put
-    # places its addressable shards; jax.make_array_from_callback-style
-    # global arrays come free since the init values are replicated
+    # places its addressable shards
     params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
     with jax.set_mesh(mesh):
         params = shard_params(params, mesh, cfg)
@@ -73,7 +71,6 @@ def worker(pid: int) -> None:
                                                    apply_prefill=False))
 
         logits, cache = step(params, cache, tokens, th)
-        # fetch this process's addressable view and check it
         local = [np.asarray(s.data) for s in logits.addressable_shards]
     ok = all(np.isfinite(a).all() for a in local)
     print(f"[proc {pid}] multihost step ok={ok} "
@@ -82,16 +79,142 @@ def worker(pid: int) -> None:
     assert ok
 
 
+def _leg_kernel_tp(pid, _):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from teal_tpu.config import SparsityConfig, get_model_config
+    from teal_tpu.models import llama
+    from teal_tpu.models.llama import KVCache
+    from teal_tpu.parallel import tp_kernel
+
+    tp = N_PROC * LOCAL_DEVICES
+    cfg = get_model_config("tiny", n_layers=2, n_heads=8, n_kv_heads=8,
+                           dim=1024, intermediate_size=1024,
+                           vocab_size=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(7), jnp.float32)
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                        block_keep_frac=1.0, block_thresholding=True,
+                        token_fused=False, fused_attn_block=False,
+                        packed_pipeline=False)
+    th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
+    mesh = tp_kernel.make_tp_mesh(tp)
+    sharded = tp_kernel.shard_params(params, mesh, cfg)
+    cache = tp_kernel.shard_cache(KVCache.init(cfg, 1, 16, jnp.float32),
+                                  mesh)
+    tok = jnp.asarray([[5]], jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        logits, cache = tp_kernel.tp_kernel_decode(
+            sharded, tok, cache, 3, th, cfg=cfg, sp=sp, mesh=mesh)
+    local = [np.asarray(s.data) for s in logits.addressable_shards]
+    ok = all(np.isfinite(a).all() for a in local)
+    print(f"[proc {pid}] multihost kernel-tp ok={ok} tp={tp} "
+          f"logits {logits.shape}", flush=True)
+    assert ok
+
+
+def _leg_pp(pid, _):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from teal_tpu.config import SparsityConfig, get_model_config
+    from teal_tpu.models import llama
+    from teal_tpu.models.llama import KVCache
+    from teal_tpu.parallel import pp
+
+    cfg = get_model_config("tiny", n_layers=2, n_heads=4, n_kv_heads=4,
+                           dim=256, intermediate_size=512, vocab_size=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(3), jnp.float32)
+    # pp is the MAJOR mesh axis: stage 0 = process 0's devices, stage 1 =
+    # process 1's — every ppermute hop crosses the process boundary
+    mesh = pp.make_pp_mesh(pp=N_PROC, tp=LOCAL_DEVICES)
+    sharded = pp.pp_shard_params(params, mesh, cfg)
+    cache = pp.pp_shard_cache(KVCache.init(cfg, 2, 16, jnp.float32), mesh)
+    tokens = jnp.tile(jnp.arange(4, dtype=jnp.int32)[None] + 1, (2, 1))
+    th = llama.zero_thresholds(cfg)
+    logits, cache = pp.pp_forward(
+        sharded, tokens, cache, 0, th, cfg=cfg,
+        sp=SparsityConfig(enabled=False), mesh=mesh, n_micro=2)
+    local = [np.asarray(s.data) for s in logits.addressable_shards]
+    ok = all(np.isfinite(a).all() for a in local)
+    print(f"[proc {pid}] multihost pp ok={ok} logits {logits.shape}",
+          flush=True)
+    assert ok
+
+
+def _leg_serving(pid, _):
+    import jax
+    import jax.numpy as jnp
+
+    from teal_tpu.config import get_model_config
+    from teal_tpu.engine.serving import ContinuousBatchingEngine
+    from teal_tpu.models import llama
+    from teal_tpu.parallel import tp as tp_mod
+    from teal_tpu.parallel.distributed import global_mesh
+
+    tp = N_PROC * LOCAL_DEVICES
+    cfg = get_model_config("tiny", n_layers=2, n_heads=8, n_kv_heads=8,
+                           dim=1024, intermediate_size=1024,
+                           vocab_size=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(6), jnp.float32)
+    mesh = global_mesh(tp=tp, dp=1)
+    sharded = tp_mod.shard_params(params, mesh, cfg)
+    with jax.set_mesh(mesh):
+        # both processes run the IDENTICAL host scheduling loop on the
+        # same submissions (SPMD host code): admission prefill, chunked
+        # or not, and the batched decode step run as global programs
+        eng = ContinuousBatchingEngine(
+            cfg, sharded, slots=2, max_seq=32, temperature=0.0,
+            cache_dtype=jnp.float32, prefill_chunk=8)
+        eng.cache = tp_mod.shard_cache(eng.cache, mesh)
+        eng.submit([1, 2, 3], 4)
+        eng.submit(list(range(1, 13)), 3)     # 2-chunk admission
+        finished = eng.run(max_steps=64)
+    ok = (len(finished) == 2
+          and all(len(r.out) == n for r, n in
+                  zip(sorted(finished, key=lambda r: r.id), (4, 3))))
+    print(f"[proc {pid}] multihost serving ok={ok} "
+          f"outs={[r.out for r in finished]}", flush=True)
+    assert ok
+
+
+LEG_FNS = {"gspmd": _leg_gspmd, "kernel-tp": _leg_kernel_tp,
+           "pp": _leg_pp, "serving": _leg_serving}
+
+
+def worker(pid: int, leg: str) -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={LOCAL_DEVICES}")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from teal_tpu.parallel.distributed import initialize_distributed
+
+    port = BASE_PORT + LEGS.index(leg)
+    initialize_distributed(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=N_PROC, process_id=pid)
+    assert jax.process_count() == N_PROC, jax.process_count()
+    assert jax.device_count() == N_PROC * LOCAL_DEVICES
+    LEG_FNS[leg](pid, None)
+
+
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--leg", default="gspmd", choices=LEGS)
+    args = ap.parse_args()
     if "MH_PROC" in os.environ:
-        worker(int(os.environ["MH_PROC"]))
+        worker(int(os.environ["MH_PROC"]), args.leg)
         return
     procs = []
     for pid in range(N_PROC):
         env = dict(os.environ, MH_PROC=str(pid))
         procs.append(subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+            [sys.executable, os.path.abspath(__file__), "--leg", args.leg],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     rc = 0
     for pid, p in enumerate(procs):
         out, _ = p.communicate(timeout=780)

@@ -107,65 +107,22 @@ def main():
                     key=jax.random.PRNGKey(rep + 1), **kw)
             return time.perf_counter() - t0, stats
 
-        # slope of MIN wall time over rounds across three generation
-        # lengths through ONE executable (the loop bound is a traced
-        # n_target): the per-call fixed cost (eager prefill + ~23 ms
-        # tunnel dispatch) lands in the intercept, and no per-program
-        # switch cost exists to poison the slope (cross-program
-        # protocols wobbled 2-40x on this runtime; round 3 mistook the
-        # fixed cost itself for a ~400 ms t_round)
-        lengths = sorted({args.max_new - 1,
-                          max(args.max_new // 2, k + 1),
-                          max(args.max_new // 4, k + 1)}, reverse=True)
+        # the ONE shared protocol (bench.spec_slope_row): interleaved
+        # min-per-length over three lengths through ONE executable
+        # (traced n_target bound — per-program switch costs poison any
+        # cross-program slope), lstsq slope, sanity-bounded
         t0 = time.time()
-        with interpret_ctx():   # warm: ONE trace + compile
-            speculative_generate(params, draft_params, cfg, draft_cfg,
-                                 prompt, args.max_new,
-                                 n_target=lengths[0],
-                                 key=jax.random.PRNGKey(0), **kw)
+        one(args.max_new - 1, -1)     # warm: ONE trace + compile
         warm = time.time() - t0
-        best = {n: (np.inf, None) for n in lengths}
-        for rep in range(4):
-            for n in lengths:
-                dt_, st_ = one(n, rep)
-                if dt_ < best[n][0]:
-                    best[n] = (dt_, st_)
-        st_l = best[lengths[0]][1]
-        r = np.array([best[n][1]["rounds"] for n in lengths], np.float64)
-        tok = np.array([best[n][1]["new_tokens"] for n in lengths],
-                       np.float64)
-        dt = np.array([best[n][0] for n in lengths], np.float64)
-        A = np.stack([r, np.ones_like(r)], 1)
-        t_round, _ = np.linalg.lstsq(A, dt, rcond=None)[0]
-        tok_per_round, _ = np.linalg.lstsq(A, tok, rcond=None)[0]
-        noisy = t_round <= 1e-4   # slope swamped by per-call variance
-        if noisy:
-            # fall back to the fastest full-length wall time (includes
-            # the fixed cost — an UNDER-estimate of the true tok/s)
-            t_round = dt[0] / max(r[0], 1)
-            tps = tok[0] / dt[0]
-        else:
-            tps = tok_per_round / max(t_round, 1e-9)
-        alpha = st_l["mean_accepted"] / k
-        row = {
-            "name": name, "k": k, "temperature": temperature,
-            "tok_s": round(tps, 2), "t_round_ms": round(t_round * 1e3, 2),
-            "walltime_tok_s": round(
-                float(tok[0] / dt[0]), 2),   # one full-length call
-            "alpha_measured": round(alpha, 3),
-            "speedup_vs_dense": round(tps / dense, 3),
-            "tok_s_at_alpha": {
-                str(a): round((1 + k * a) / t_round, 1)
-                for a in (0.5, 0.7, 0.85)
-            },
-        }
-        if noisy:
-            row["noisy_slope_walltime_fallback"] = True
+        row = benchmod.spec_slope_row(one, k, args.max_new,
+                                      alphas=(0.5, 0.7, 0.85, 0.95))
+        row.update(name=name, temperature=temperature,
+                   speedup_vs_dense=round(row["tok_s"] / dense, 3))
         rows.append(row)
-        log(f"  [{name}] k={k} T={temperature}: {tps:.1f} tok/s slope "
-            f"({tps/dense:.2f}x; walltime {row['walltime_tok_s']}), "
-            f"t_round {t_round*1e3:.1f} ms, alpha {alpha:.2f} "
-            f"(warm {warm:.1f}s)")
+        log(f"  [{name}] k={k} T={temperature}: {row['tok_s']:.1f} tok/s "
+            f"slope ({row['speedup_vs_dense']:.2f}x; walltime "
+            f"{row['walltime_tok_s']}), t_round {row['t_round_ms']:.1f} "
+            f"ms, alpha {row['alpha_measured']:.2f} (warm {warm:.1f}s)")
 
     # --- self-speculation: sparse draft of the same weights, ONE shared
     # cache (draft writes sparse in-round kv; dense verify overwrites —

@@ -263,6 +263,25 @@ def token_kernel_moe():
 
 
 @variant
+def token_kernel_moe_int8():
+    """int8 Mixtral: in-kernel routing + int8 expert gather (expert
+    scale stacks ride per-PSEUDO-layer slabs indexed li*E+e) vs the
+    XLA int8 moe_ffn fallback."""
+    from teal_tpu.ops.quant import quantize_params_int8
+
+    cfg, params = _tiny(seed=17, n_experts=4, n_experts_per_tok=2)
+    qp = quantize_params_int8(params)
+    sp = _sp()
+    got, cg = _fwd(qp, cfg, sp, cache_dtype=jnp.bfloat16)
+    ref, cr = _fwd(qp, cfg, sp.replace(token_fused=False),
+                   cache_dtype=jnp.bfloat16)
+    _close(got, ref, 5e-2, "moe int8 token kernel")
+    np.testing.assert_allclose(
+        np.asarray(cg.k, np.float32), np.asarray(cr.k, np.float32),
+        rtol=2e-2, atol=2e-2)
+
+
+@variant
 def token_kernel_sliding_window():
     """Sliding-window attention in the token kernel vs XLA fallback."""
     cfg, params = _tiny(seed=5, sliding_window=8)

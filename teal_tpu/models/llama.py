@@ -538,12 +538,18 @@ def _can_packed_pipeline(params, cfg: ModelConfig, sp: SparsityConfig,
     if cfg.n_experts > 0:
         # Mixtral: served ONLY by the token kernel (in-kernel routing +
         # dense expert gather; ops/token_block._moe_route), batch 1,
-        # array weights, expert dims on the G=128 grid
+        # bf16/fp32 arrays OR int8 weight-only dicts (expert scales ride
+        # per-pseudo-layer slabs; reference parity: every published
+        # Mixtral baseline is int8, gpt-fast/README.md:25-29), expert
+        # dims on the G=128 grid. int4 MoE is not wired.
         from teal_tpu.ops.block_gemv import effective_block_size
 
+        def _ok_leaf(w):
+            return (not isinstance(w, dict)
+                    or ("q" in w and "qp" not in w and "zero" not in w))
+
         if not (b == 1 and sp.token_fused is not False
-                and not isinstance(lay["wq"], dict)
-                and not isinstance(lay["wgate"], dict)
+                and _ok_leaf(lay["wq"]) and _ok_leaf(lay["wgate"])
                 and effective_block_size(sp.block_size, cfg.dim) == 128
                 and effective_block_size(
                     sp.block_size, cfg.intermediate_size) == 128):

@@ -37,12 +37,36 @@ def init_moe_ffn_params(cfg: ModelConfig, key, dtype=jnp.bfloat16):
     }
 
 
-def _expert_ffn(y, wg, wu, wd):
+def _mm(y, w, scale=None):
+    """Matmul against one expert's weight slice: plain array, or int8
+    {"q","scale"} dequant-in-matmul (compute-dtype matmul then the
+    per-out-channel scale — reference WeightOnlyBit8Linear /
+    ConditionalFeedForwardBit8, `mixtral-moe/quantize.py:117-143`)."""
+    if scale is not None:
+        out = jnp.matmul(y, w.astype(y.dtype),
+                         preferred_element_type=jnp.float32)
+        return out * scale.astype(jnp.float32)
+    return jnp.matmul(y, w, preferred_element_type=jnp.float32)
+
+
+def _expert_ffn(y, wg, wu, wd, sg=None, su=None, sd=None):
     """SwiGLU through one expert's weights. y: [..., D]."""
-    gate = jnp.matmul(y, wg, preferred_element_type=jnp.float32)
-    up = jnp.matmul(y, wu, preferred_element_type=jnp.float32)
+    gate = _mm(y, wg, sg)
+    up = _mm(y, wu, su)
     inter = (jax.nn.silu(gate) * up).astype(y.dtype)
-    return jnp.matmul(inter, wd, preferred_element_type=jnp.float32).astype(y.dtype)
+    return _mm(inter, wd, sd).astype(y.dtype)
+
+
+def _wq(leaf, idx=None):
+    """(weights, scale) for an expert leaf, optionally gathered by a
+    routed-expert index array. int8 leaves are {"q": [L?,E,K,N],
+    "scale": [L?,E,N]} dicts (quant.quantize_params_int8)."""
+    if isinstance(leaf, dict):
+        q, s = leaf["q"], leaf["scale"]
+        if idx is not None:
+            q, s = q[idx], s[idx]
+        return q, s
+    return (leaf if idx is None else leaf[idx]), None
 
 
 def moe_ffn(y, lp, cfg: ModelConfig):
@@ -62,20 +86,25 @@ def moe_ffn(y, lp, cfg: ModelConfig):
         # indexing covers, mixtral-moe/model.py:193-199, extended to the
         # engine's slot batch).
         idx = top_idx[:, 0]                           # [B, k]
-        wg = lp["wgate"][idx]                         # [B, k, D, I]
-        wu = lp["wup"][idx]
-        wd = lp["wdown"][idx]
+        wg, sg = _wq(lp["wgate"], idx)                # [B, k, D, I]
+        wu, su = _wq(lp["wup"], idx)
+        wd, sd = _wq(lp["wdown"], idx)
+        scales = () if sg is None else (sg, su, sd)
         outs = jax.vmap(jax.vmap(
-            _expert_ffn, in_axes=(None, 0, 0, 0)
-        ))(y[:, 0], wg, wu, wd)                       # [B, k, D]
+            _expert_ffn, in_axes=(None,) + (0,) * (3 + len(scales))
+        ))(y[:, 0], wg, wu, wd, *scales)              # [B, k, D]
         w8 = weights[:, 0][..., None].astype(y.dtype)  # [B, k, 1]
         return jnp.sum(outs * w8, axis=1)[:, None, :]
 
     # prefill: run every expert, combine by routing weights
+    wg, sg = _wq(lp["wgate"])
+    wu, su = _wq(lp["wup"])
+    wd, sd = _wq(lp["wdown"])
+    scales = () if sg is None else (sg, su, sd)
     all_out = jax.vmap(
-        lambda g, u, dn: _expert_ffn(y, g, u, dn),
+        lambda g, u, dn, *sc: _expert_ffn(y, g, u, dn, *sc),
         in_axes=0, out_axes=0,
-    )(lp["wgate"], lp["wup"], lp["wdown"])            # [E, B, S, D]
+    )(wg, wu, wd, *scales)                            # [E, B, S, D]
     onehot = jax.nn.one_hot(top_idx, cfg.n_experts, dtype=jnp.float32)
     combine = jnp.einsum("bske,bsk->ebs", onehot, weights)  # [E, B, S]
     return jnp.einsum(

@@ -31,7 +31,8 @@ Triton kernel covers only the QKV GEMVs (`kernels/sparse_gemv.py:
 147-237`) and attention runs separately in sdpa (`gpt-fast/model.py:
 249`).
 
-`attn_stage` is batch-generic (static B <= 8): batch rows ride the MXU
+`attn_stage` is batch-generic (static B <= 16; 8 < B <= 16 rides a
+two-sublane-tile lhs): batch rows ride the MXU
 lhs sublanes through one shared gather (pooled-score selection), then
 each sequence's RoPE / cache write / attention runs at its own position
 (continuous batching decodes slots at different depths). B == 1 emits

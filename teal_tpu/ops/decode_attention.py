@@ -60,8 +60,18 @@ CHUNK = 256    # T-dim rows per attention DMA (double-buffered)
 def _mxu_dot(a, b, dims):
     """dot_general with fp32-exactness preserved: f32 operands force
     Precision.HIGHEST (bf16x3 passes, ~exact f32) so fp32-cache configs
-    match the VPU reference; bf16 operands take the native MXU path
-    (the production decode config — zero cost)."""
+    match the VPU reference; bf16 operands take the native MXU path.
+
+    bf16-cache numerics note (ADVICE r4): for bf16 caches the callers
+    downcast the fp32 post-RoPE q and the fp32 softmax weights to bf16
+    before these dots, where the pre-MXU VPU path accumulated scores
+    and PV fully in fp32 — one extra bf16 rounding of q and of e per
+    dot. The score/PV ACCUMULATION itself still happens in fp32 (MXU
+    accumulator, preferred_element_type). Bounded by
+    tests/test_kernels.py::test_decode_attention_bf16_cache_tolerance
+    against an all-fp32 XLA reference; greedy prefix exactness vs the
+    s=1 decode path is preserved because verify and decode share THIS
+    kernel (same rounding on both sides)."""
     prec = (jax.lax.Precision.HIGHEST if b.dtype == jnp.float32 else None)
     return jax.lax.dot_general(a, b, dims, precision=prec,
                                preferred_element_type=jnp.float32)

@@ -258,19 +258,33 @@ def quantize_params_int8(params) -> Dict:
     "scale": f32 [L,N]}; lm_head becomes {"q": int8 [D,V], "scale": [V]}
     (the reference's replace walks every nn.Linear incl. the output
     head, quantize.py:312-317; at Llama-3's 128k vocab the bf16 head
-    alone reads 1 GB/token). Norms/embeddings stay as-is."""
+    alone reads 1 GB/token). Norms/embeddings stay as-is.
+
+    MoE (Mixtral) expert stacks [L, E, K, N] quantize per (layer,
+    expert, out-channel) -> {"q": int8 [L,E,K,N], "scale": [L,E,N]};
+    the router stays fp, matching the reference's Mixtral quantizer
+    which skips the gate (`mixtral-moe/quantize.py:56,73`)."""
     out = {k: v for k, v in params.items() if k != "layers"}
     head = quantize_int8(out["lm_head"])
     out["lm_head"] = {"q": head.q, "scale": head.scale}
+
+    def quant_stack(stack):
+        if stack.ndim == 4:          # [L, E, K, N] expert stacks
+            qs, ss = zip(*(quant_stack(stack[l])
+                           for l in range(stack.shape[0])))
+            return jnp.stack(qs), jnp.stack(ss)
+        qs, ss = [], []
+        for l in range(stack.shape[0]):
+            wq = quantize_int8(stack[l])
+            qs.append(wq.q)
+            ss.append(wq.scale)
+        return jnp.stack(qs), jnp.stack(ss)
+
     layers = {}
     for name, stack in params["layers"].items():
         if name in _QUANT_KEYS:
-            qs, ss = [], []
-            for l in range(stack.shape[0]):
-                wq = quantize_int8(stack[l])
-                qs.append(wq.q)
-                ss.append(wq.scale)
-            layers[name] = {"q": jnp.stack(qs), "scale": jnp.stack(ss)}
+            q, s = quant_stack(stack)
+            layers[name] = {"q": q, "scale": s}
         else:
             layers[name] = stack
     out["layers"] = layers

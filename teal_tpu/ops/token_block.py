@@ -188,8 +188,7 @@ def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
                   window: Optional[int], norm_eps: float, caps, depths,
                   plan_groups, scale: float, fixed_sel: bool,
                   int8: bool = False, B: int = 1, rows: int = 1,
-                  E: int = 0, K_EXP: int = 0, seq_block: bool = False,
-                  cache_offset: int = 0):
+                  E: int = 0, K_EXP: int = 0, seq_block: bool = False):
     na_ref, nm_ref = refs[0], refs[1]
     k = 2
     if int8:
@@ -239,8 +238,7 @@ def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
                depth=depths[0], norm_eps=norm_eps, Hq=Hq, Hkv=Hkv,
                T=T, D=LANES, C=C, window=window, scale=scale,
                fixed_sel=fixed_sel, scale_ref=s_refs[0],
-               cache_rows=((0,) * B if seq_block else
-                           tuple(cache_offset + b for b in range(B))))
+               cache_rows=((0,) * B if seq_block else tuple(range(B))))
 
     def write_residual(acc, sb):
         """o/down writer: (scaled) accumulator rows + residual stream,
@@ -297,17 +295,24 @@ def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
 
             def write_down_weighted(acc, sb, t=t):
                 for j in range(nbD):
-                    row = acc[0:rows, j * LANES:(j + 1) * LANES] \
-                        * wbuf[t:t + 1, :]
-                    h3_s[j] = (row + h3_s[j].astype(jnp.float32)) \
+                    row = acc[0:rows, j * LANES:(j + 1) * LANES]
+                    if sb is not None:   # int8 per-out-channel scale
+                        row = row * sb[j:j + 1, :]
+                    h3_s[j] = (row * wbuf[t:t + 1, :]
+                               + h3_s[j].astype(jnp.float32)) \
                         .astype(h3_s.dtype)
 
+            # int8 MoE: the expert scale stacks are per-PSEUDO-layer
+            # [(L*E)*nbs, 128] slabs, so le_s indexes weight gather and
+            # scale slab consistently
             _proj_stage(zero, le_s, xn3_s, write_gu, plan_groups[2],
                         w_groups[2], G=LANES, nb=nbD, cap=caps[2],
-                        depth=depths[2], fixed_sel=True)
+                        depth=depths[2], fixed_sel=True,
+                        scale_ref=s_refs[2])
             _proj_stage(zero, le_s, inter3_s, write_down_weighted,
                         plan_groups[3], w_groups[3], G=LANES, nb=nbI,
-                        cap=caps[3], depth=depths[3], fixed_sel=True)
+                        cap=caps[3], depth=depths[3], fixed_sel=True,
+                        scale_ref=s_refs[3])
     else:
         _proj_stage(thr_ref[li, 4], li_s, h3_s, write_gu, plan_groups[2],
                     w_groups[2], G=LANES, nb=nbD, cap=caps[2],
@@ -329,13 +334,13 @@ def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
 @functools.partial(jax.jit, static_argnames=("caps", "n_heads", "norm_eps",
                                              "window", "fixed_sel",
                                              "batch", "n_experts_per_tok",
-                                             "seq_block", "cache_offset"))
+                                             "seq_block"))
 def token_decode(x3, thresholds, ws, norm_attn3, norm_mlp3, cos, sin,
                  kc_all, vc_all, pos, *, caps, n_heads: int,
                  norm_eps: float = 1e-5, window: Optional[int] = None,
                  fixed_sel: bool = False, batch: int = 1,
                  router=None, n_experts_per_tok: int = 0,
-                 seq_block: bool = False, cache_offset: int = 0):
+                 seq_block: bool = False):
     """One-launch decode of the whole layer stack (batch <= 8, G == 128).
 
     x3:  packed RAW residual stream: [dim/128, 1, 128] (batch 1) or
@@ -359,15 +364,10 @@ def token_decode(x3, thresholds, ws, norm_attn3, norm_mlp3, cos, sin,
     / chunked-prefill shape. Slots run in order, so row i attends to
     rows < i through the cache (attn_block.attn_stage cache_rows).
 
-    cache_offset: slot b reads/writes cache row cache_offset + b — the
-    B > 8 serving step runs TWO launches (slots 0-7 then 8-15, one
-    pooled selection each) against the SAME stacked cache with no
-    slice/copy of the cache slabs.
-
     Returns (h3' in x3's layout, kc_all, vc_all).
     """
     L, Bc, Hkv, T, Dh = kc_all.shape
-    assert (Bc == 1 if seq_block else Bc >= cache_offset + batch) \
+    assert (Bc == 1 if seq_block else Bc >= batch) \
         and Dh == LANES and T % ROWTILE == 0, kc_all.shape
     rows = x3.shape[1]
     # 16 rows = the single-launch B <= 16 decode: the MXU lhs spans two
@@ -389,12 +389,22 @@ def token_decode(x3, thresholds, ws, norm_attn3, norm_mlp3, cos, sin,
     if moe:
         # Mixtral: expert stacks [L, E, K, N] flatten to [L*E, K, N] —
         # expert e of layer li is pseudo-layer li*E + e for the gather
-        # DMAs; the packed router rides as one extra ANY operand
+        # DMAs; the packed router rides as one extra ANY operand. int8
+        # expert dicts flatten q the same way and their per-out-channel
+        # scales become per-PSEUDO-layer slabs (the stage writers index
+        # the scale stack by the same layer_ref as the weight gather)
         assert batch == 1 and n_experts_per_tok > 0
-        E = ws[4].shape[1]
-        ws = (*ws[:4],
-              *(w.reshape(L * E, w.shape[2], w.shape[3])
-                for w in ws[4:7]))
+        w4q = ws[4]["q"] if isinstance(ws[4], dict) else ws[4]
+        E = w4q.shape[1]
+
+        def _flat_e(w):
+            if isinstance(w, dict):
+                return {"q": w["q"].reshape(L * E, *w["q"].shape[2:]),
+                        "scale": w["scale"].reshape(
+                            L * E, w["scale"].shape[-1])}
+            return w.reshape(L * E, *w.shape[2:])
+
+        ws = (*ws[:4], *(_flat_e(w) for w in ws[4:7]))
         nbr = E * nbD
         rp = jnp.swapaxes(jnp.asarray(router, jnp.float32), 1, 2)
         rp = rp.reshape(L, nbr, LANES)                 # [L, E*nbD, 128]
@@ -410,7 +420,6 @@ def token_decode(x3, thresholds, ws, norm_attn3, norm_mlp3, cos, sin,
     if int8:
         assert all(_is_int8(w) for w in ws), \
             "int8 token kernel needs all seven projections int8"
-        assert not moe
         from teal_tpu.ops.block_gemv import pack_norm3
 
         def pack_s(*scales):
@@ -462,7 +471,6 @@ def token_decode(x3, thresholds, ws, norm_attn3, norm_mlp3, cos, sin,
         plan_groups=plan_groups, scale=1.0 / (Dh ** 0.5),
         fixed_sel=fixed_sel, int8=int8, B=batch, rows=rows,
         E=E, K_EXP=n_experts_per_tok, seq_block=seq_block,
-        cache_offset=cache_offset,
     )
     moe_scratch = [] if not moe else [
         pltpu.VMEM((nbD, rows, LANES), x3.dtype),         # normalized xn

@@ -506,6 +506,45 @@ def test_decode_attention_matches_reference():
                                           np.asarray(vc_ref))
 
 
+def test_decode_attention_bf16_cache_tolerance():
+    """bf16-cache numerics bound (ADVICE r4): the MXU path rounds the
+    fp32 post-RoPE q and the fp32 softmax weights to bf16 before the
+    dots; this pins the kernel against an ALL-fp32 XLA reference
+    (cache contents upcast) within a bf16-rounding tolerance, so the
+    production bf16 decode/verify path has an explicit numerics test
+    (the exactness tests above use fp32 caches)."""
+    from teal_tpu.models import llama
+    from teal_tpu.ops.decode_attention import decode_attention
+
+    key = jax.random.PRNGKey(11)
+    L, T, D = 2, 64, 128
+    for B, Hq, Hkv, window in ((1, 4, 4, None), (2, 8, 2, 16)):
+        key, kq, kk, kn, kp = jax.random.split(key, 5)
+        q = jax.random.normal(kq, (B, Hq, 1, D), jnp.float32)
+        kc = jax.random.normal(kk, (L, B, Hkv, T, D)).astype(jnp.bfloat16)
+        vc = (kc * 0.7 + 0.1).astype(jnp.bfloat16)
+        k_new = jax.random.normal(kn, (B, Hkv, 1, D), jnp.float32)
+        v_new = k_new * 0.5 - 0.2
+        pos = jax.random.randint(kp, (B,), 0, T)
+        got, kc_out, vc_out = decode_attention(
+            q, k_new.astype(jnp.bfloat16), v_new.astype(jnp.bfloat16),
+            kc, vc, 0, pos, window=window)
+        # fp32 reference on the SAME bf16 cache contents (incl. the
+        # bf16-rounded current-token write)
+        ref = llama._attention(
+            q, kc_out[0].astype(jnp.float32), vc_out[0].astype(jnp.float32),
+            pos, 1, T, window)
+        g = np.asarray(got, np.float32)
+        r = np.asarray(ref, np.float32)
+        # bound vs the output SCALE: bf16-rounded softmax weights give
+        # each element ~0.4% rounding but small elements see larger
+        # relative noise — the claim is that no error is material at
+        # the activation's scale
+        scale = np.abs(r).max()
+        assert np.abs(g - r).max() < 0.02 * scale, \
+            (np.abs(g - r).max() / scale, B, Hkv, window)
+
+
 def test_fused_decode_model_equivalence():
     """forward() with fused_decode_attention on == off (dense decode)."""
     from teal_tpu.config import ModelConfig

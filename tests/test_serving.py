@@ -138,8 +138,9 @@ def test_serving_on_tp_mesh_matches_unsharded():
 
 
 def test_serving_b_gt_8_two_launch():
-    """slots > 8: the decode step runs two token-kernel launches per
-    step (8 + rest) against one cache; requests still finish correctly."""
+    """slots > 8: the decode step serves all slots in ONE [16, G]
+    two-sublane-tile token-kernel launch (llama.forward's 8 < b <= 16
+    path); requests still finish correctly."""
     from jax.experimental.pallas import tpu as pltpu
     from teal_tpu.config import SparsityConfig, get_model_config
 
@@ -183,3 +184,58 @@ def test_serving_with_block_kernel():
     assert len(finished) == 2
     assert all(len(r.out) == 4 for r in finished)
     assert all(all(0 <= t < cfg.vocab_size for t in r.out) for r in finished)
+
+
+def test_chunked_prefill_matches_oneshot(tiny):
+    """prefill_chunk=N admission must produce the same greedy outputs as
+    one-shot admission (the sub-cache scatter and first-token sampling
+    are the same math, just split across steps)."""
+    cfg, params = tiny
+    prompts = [[1, 2, 3], list(range(1, 20)), [4, 5, 6, 9]]
+    want = [_single_greedy(cfg, params, p, 5) for p in prompts]
+
+    eng = ContinuousBatchingEngine(
+        cfg, params, slots=2, max_seq=64, temperature=0.0,
+        cache_dtype=jnp.float32, prefill_chunk=8,
+    )
+    for p in prompts:
+        eng.submit(p, 5)
+    finished = eng.run()
+    assert len(finished) == 3
+    got = {tuple(r.prompt): r.out for r in finished}
+    for p, w in zip(prompts, want):
+        assert got[tuple(p)] == w, (p, got[tuple(p)], w)
+
+
+def test_chunked_prefill_interleaves_decode(tiny):
+    """A long admission must NOT stall active decode slots: while the
+    4-chunk prompt prefills, the already-active request keeps decoding
+    one token per engine step (VERDICT r4 #8: one-shot `prefill_slot`
+    stalled every active slot for the whole prompt)."""
+    cfg, params = tiny
+    C = 8
+    eng = ContinuousBatchingEngine(
+        cfg, params, slots=2, max_seq=64, temperature=0.0,
+        cache_dtype=jnp.float32, prefill_chunk=C,
+    )
+    eng.submit([1, 2, 3], 40)               # slot 0: long-running decode
+    eng.step()                              # admit (1 chunk) + 1 decode
+    eng.step()                              # ...activates + decodes
+    assert eng.active[0] is not None
+    out_before = len(eng.active[0].out)
+
+    long_prompt = list(range(1, 4 * C + 1))  # 4 chunks
+    eng.submit(long_prompt, 2)
+    steps = 0
+    # step until the long prompt finishes admission (its first chunk
+    # starts on the next step; 4 chunks -> 4 steps in admission)
+    while (eng._pending is not None or eng.active[1] is None) and steps < 10:
+        eng.step()
+        steps += 1
+    assert steps == 4, steps
+    # slot 0 decoded one token on EVERY admission step — never stalled
+    out_after = len(eng.active[0].out)
+    assert out_after - out_before == steps, (out_before, out_after, steps)
+    finished = eng.run()
+    assert any(r.prompt == long_prompt and len(r.out) == 2
+               for r in finished)
