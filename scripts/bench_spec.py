@@ -41,6 +41,13 @@ def main():
                          "(lossless over the int8-dense baseline: draft "
                          "int8+sparse, verify int8 dense via the token "
                          "kernel)")
+    ap.add_argument("--grid", action="store_true",
+                    help="full (keep, k) t_round grid for the acceptance "
+                         "study's realized-throughput table "
+                         "(experiments/acceptance_study.py)")
+    ap.add_argument("--out", default=None,
+                    help="also write the result JSON here (e.g. "
+                         "docs/spec_rounds.json)")
     args = ap.parse_args()
 
     import jax
@@ -90,7 +97,7 @@ def main():
             rows.append({"name": name, "failed": True})
 
     def _run_row(name, draft_cfg, draft_params, draft_sp, k, temperature,
-                 draft_th=None, shared_cache=None):
+                 draft_th=None, shared_cache=None, keep=None):
         kw = dict(
             speculate_k=k, temperature=temperature, max_seq=args.max_seq,
             target_sp=SparsityConfig(enabled=False), draft_sp=draft_sp,
@@ -118,6 +125,8 @@ def main():
                                       alphas=(0.5, 0.7, 0.85, 0.95))
         row.update(name=name, temperature=temperature,
                    speedup_vs_dense=round(row["tok_s"] / dense, 3))
+        if keep is not None:
+            row["keep"] = keep
         rows.append(row)
         log(f"  [{name}] k={k} T={temperature}: {row['tok_s']:.1f} tok/s "
             f"slope ({row['speedup_vs_dense']:.2f}x; walltime "
@@ -127,12 +136,29 @@ def main():
     # --- self-speculation: sparse draft of the same weights, ONE shared
     # cache (draft writes sparse in-round kv; dense verify overwrites —
     # no draft top-up forward, half the cache HBM) ---
-    for keep, k in ((0.5, 4), (0.5, 6), (0.5, 8), (0.25, 4), (0.25, 8)):
+    if args.grid:
+        # the acceptance study's realized-throughput grid: t_round(keep,
+        # k) at every operating point the alpha table covers
+        grid = [(keep, k)
+                for keep in (0.75, 0.625, 0.5, 0.375, 0.25)
+                for k in (2, 4, 6, 8)]
+    else:
+        grid = [(0.5, 4), (0.5, 6), (0.5, 8), (0.25, 4), (0.25, 8)]
+    for keep, k in grid:
         sp_draft = SparsityConfig(
             enabled=True, kernel="block", block_size=128,
             block_keep_frac=keep, block_thresholding=True)
-        run_row(f"self_spec_keep{int(keep*100)}_k{k}", cfg, params,
-                sp_draft, k, 1.0, draft_th=llama.zero_thresholds(cfg))
+        run_row(f"self_spec_keep{int(keep*1000)/10:g}_k{k}", cfg, params,
+                sp_draft, k, 1.0, draft_th=llama.zero_thresholds(cfg),
+                keep=keep)
+    if args.grid:
+        out = {"metric": "speculative_decode_grid",
+               "dense_tok_s": round(dense, 2), "rows": rows}
+        print(json.dumps(out))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(out, f, indent=1)
+        return
     # classic two-cache design for comparison (the reference's cache
     # topology, gpt-fast/generate.py:133-137)
     sp_draft = SparsityConfig(enabled=True, kernel="block", block_size=128,
@@ -164,6 +190,9 @@ def main():
         "rows": rows,
     }
     print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

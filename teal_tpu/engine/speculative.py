@@ -71,7 +71,8 @@ def _sample_probs(key, probs):
 
 def _spec_step(pt, pd, cache_t, cache_d, token, pos, th_t, th_d, key, *,
                k, temperature, top_k, target_cfg, draft_cfg, target_sp,
-               draft_sp, shared_cache=False):
+               draft_sp, shared_cache=False, k_eff=None,
+               forced_alpha=None):
     """One draft-propose / target-verify round (traced; shared by the
     host-loop step and the on-device while_loop program).
 
@@ -80,21 +81,50 @@ def _spec_step(pt, pd, cache_t, cache_d, token, pos, th_t, th_d, key, *,
     dense verify overwrites those slots (module docstring). Returns
     cache_d=None in that mode.
 
+    k_eff (traced scalar or None): adaptive speculation depth. Draft
+    steps i >= k_eff are SKIPPED via lax.cond (no forward executed, no
+    HBM traffic) and their proposals force-rejected, so the round
+    proposes only k_eff tokens while the program keeps static shapes.
+    k_eff == 0 degenerates to a plain target decode step (the verify's
+    row 0 samples the target directly through the zero-padded residual).
+
+    forced_alpha (static float or None): MEASUREMENT HARNESS ONLY —
+    accept each in-depth draft with probability forced_alpha instead of
+    the q/p rule, so throughput can be measured on-chip at a calibrated
+    acceptance rate (experiments/acceptance_study.py) on random weights
+    whose own q/p acceptance is an artifact. NOT distribution-exact.
+
     Returns (tokens [k+1], n_valid, cache_t, cache_d, key)."""
     if shared_cache:
         assert cache_d is None, "shared_cache: pass cache_d=None"
         cache_d = cache_t
 
-    # --- draft: k sequential tokens ---
+    # --- draft: up to k sequential tokens (steps >= k_eff skipped) ---
     def dbody(carry, i):
         tok, cache_d, key = carry
         key, sub = jax.random.split(key)
-        logits, cache_d = llama.forward(
-            pd, tok[:, None], cache_d, pos + i, th_d,
-            cfg=draft_cfg, sp=draft_sp,
-        )
-        probs = logits_to_probs(logits[0, 0], temperature, top_k)
-        tok = _sample_probs(sub, probs)[None].astype(jnp.int32)
+
+        def live(tok, cache_d):
+            logits, cache_d = llama.forward(
+                pd, tok[:, None], cache_d, pos + i, th_d,
+                cfg=draft_cfg, sp=draft_sp,
+            )
+            probs = logits_to_probs(logits[0, 0], temperature, top_k)
+            tok = _sample_probs(sub, probs)[None].astype(jnp.int32)
+            return tok, cache_d, probs
+
+        if k_eff is None:
+            tok, cache_d, probs = live(tok, cache_d)
+        else:
+            # zero probs on the skipped branch make the residual at
+            # acc_len == k_eff equal tprobs[k_eff] exactly (bonus-token
+            # semantics), and the skipped forward costs nothing
+            tok, cache_d, probs = jax.lax.cond(
+                i < k_eff, live,
+                lambda tok, cache_d: (
+                    tok, cache_d,
+                    jnp.zeros((draft_cfg.vocab_size,), jnp.float32)),
+                tok, cache_d)
         return (tok, cache_d, key), (tok[0], probs)
 
     (last_tok, cache_d, key), (dtoks, dprobs) = jax.lax.scan(
@@ -126,7 +156,13 @@ def _spec_step(pt, pd, cache_t, cache_d, token, pos, th_t, th_d, key, *,
     p = dprobs[jnp.arange(k), dtoks]                         # draft
     q = tprobs[jnp.arange(k), dtoks]                         # target
     key, kacc, kres = jax.random.split(key, 3)
-    accept = jax.random.uniform(kacc, (k,)) < jnp.minimum(1.0, q / p)
+    u = jax.random.uniform(kacc, (k,))
+    if forced_alpha is None:
+        accept = u < jnp.minimum(1.0, q / p)
+    else:
+        accept = u < jnp.float32(forced_alpha)
+    if k_eff is not None:
+        accept = accept & (jnp.arange(k) < k_eff)
     any_rej = jnp.any(~accept)
     acc_len = jnp.where(any_rej, jnp.argmax(~accept), k)
 
@@ -141,10 +177,16 @@ def _spec_step(pt, pd, cache_t, cache_d, token, pos, th_t, th_d, key, *,
 
     if shared_cache:
         # no top-up: the verify just wrote dense kv at pos..pos+k, which
-        # covers every position the next round can start from
+        # covers every position the next round can start from (this is
+        # also why adaptive k_eff needs no staleness care here — every
+        # slot the next round conditions on is dense-exact)
         cache_d = None
     else:
-        # top up the draft cache with its own last token (ref :133-137)
+        # top up the draft cache with its own last token (ref :133-137).
+        # Adaptive k_eff is shared-cache only: with a separate draft
+        # cache, skipped steps would leave stale kv slots the next
+        # round attends to.
+        assert k_eff is None, "adaptive k requires shared_cache"
         _, cache_d = llama.forward(
             pd, dtoks[-1][None, None], cache_d, pos + k, th_d,
             cfg=draft_cfg, sp=draft_sp,
@@ -169,10 +211,14 @@ def build_speculative_step(
     draft_sp: SparsityConfig = SparsityConfig(),
     shared_params: bool = False,
     shared_cache: bool = False,
+    forced_alpha: Optional[float] = None,
 ):
     """Returns a jitted step:
     (pt, pd, cache_t, cache_d, token[1], pos, th_t, th_d, key)
       -> (tokens[k+1], n_valid, cache_t, cache_d, key)
+
+    forced_alpha: measurement harness (see _spec_step) — accept drafts
+    at a fixed calibrated rate instead of the q/p rule. NOT exact.
 
     shared_params: see build_speculative_loop — avoids double-counting
     the weights at AOT compile when draft and target share buffers.
@@ -188,7 +234,7 @@ def build_speculative_step(
     step = functools.partial(
         _spec_step, k=speculate_k, temperature=temperature, top_k=top_k,
         target_cfg=target_cfg, draft_cfg=draft_cfg, target_sp=target_sp,
-        draft_sp=draft_sp,
+        draft_sp=draft_sp, forced_alpha=forced_alpha,
     )
     if shared_cache:
         assert shared_params, "shared_cache requires shared params"
@@ -227,6 +273,12 @@ def build_speculative_loop(
     draft_sp: SparsityConfig = SparsityConfig(),
     shared_params: bool = False,
     shared_cache: bool = False,
+    forced_alpha: Optional[float] = None,
+    adaptive_k: bool = False,
+    k_min: int = 0,
+    draft_cost_ratio: float = 0.5,
+    overhead_ratio: float = 0.15,
+    probe_every: int = 8,
 ):
     """The WHOLE generation loop as one jitted on-device program
     (`lax.while_loop` over speculative rounds; accepted tokens written at
@@ -249,10 +301,39 @@ def build_speculative_loop(
     double-counted and a 16 GB chip OOMs at compile.
     shared_cache=True (requires shared_params): ONE cache for both roles
     (module docstring) — cache_d is dropped from the program too.
+
+    forced_alpha (static float): measurement harness — accept drafts at
+    a fixed calibrated rate instead of the q/p rule (NOT exact; see
+    _spec_step and experiments/acceptance_study.py).
+    adaptive_k (shared_cache only): per-round speculation depth k_eff
+    in [k_min, k]. The loop tracks a discounted acceptance estimate
+    alpha_hat = acc/attempted (the truncated-geometric MLE) and sets
+    k_eff = argmax_j E[tokens | alpha_hat, j] / (j*draft_cost_ratio +
+    1 + overhead_ratio) — the throughput model with per-round costs in
+    verify units. Draft steps >= k_eff are lax.cond-skipped (no HBM
+    traffic), so a low-acceptance regime degrades toward the cost of a
+    bare verify (~1 dense step per token, k_eff=0) instead of paying k
+    wasted draft forwards (VERDICT r4 next #1c); every `probe_every`
+    rounds k_eff is floored at 1 so the estimator keeps seeing fresh
+    evidence and can re-escalate. Output distribution is untouched
+    (speculative sampling is exact at ANY k, including k=0 where the
+    zero-padded residual samples the target directly).
     """
     k = speculate_k
     if shared_cache:
         assert shared_params, "shared_cache requires shared params"
+    if adaptive_k:
+        assert shared_cache, "adaptive_k requires shared_cache " \
+            "(a separate draft cache would go stale on skipped steps)"
+
+    def _controller(acc_w, att_w):
+        """k_eff from the discounted acceptance counters."""
+        alpha_hat = jnp.clip(acc_w / jnp.maximum(att_w, 0.5), 0.02, 0.98)
+        ks = jnp.arange(k + 1, dtype=jnp.float32)
+        gain = (1.0 - alpha_hat ** (ks + 1.0)) / (1.0 - alpha_hat)
+        cost = ks * draft_cost_ratio + 1.0 + overhead_ratio
+        k_best = jnp.argmax(gain / cost).astype(jnp.int32)
+        return jnp.clip(k_best, k_min, k), alpha_hat
 
     def run_impl(pt, pd, cache_t, cache_d, token, pos, th_t, th_d, key,
                  n_target):
@@ -271,28 +352,52 @@ def build_speculative_loop(
             return (n_out < bound) & (pos + k + 1 < max_seq)
 
         def body(state):
-            n_out, pos, out_buf, token, cache_t, cache_d, key, rounds = state
+            (n_out, pos, out_buf, token, cache_t, cache_d, key, rounds,
+             acc_w, att_w) = state
+            if adaptive_k:
+                k_eff, _ = _controller(acc_w, att_w)
+                k_eff = jnp.where(rounds % probe_every == 0,
+                                  jnp.maximum(k_eff, 1), k_eff)
+            else:
+                k_eff = None
             toks, n_valid, cache_t, cache_d, key = _spec_step(
                 pt, pd, cache_t, cache_d, token, pos, th_t, th_d, key,
                 k=k, temperature=temperature, top_k=top_k,
                 target_cfg=target_cfg, draft_cfg=draft_cfg,
                 target_sp=target_sp, draft_sp=draft_sp,
-                shared_cache=shared_cache,
+                shared_cache=shared_cache, k_eff=k_eff,
+                forced_alpha=forced_alpha,
             )
+            if adaptive_k:
+                # truncated-geometric MLE counters, discounted: acc_len
+                # accepted out of acc_len (+1 if a rejection was seen)
+                acc = (n_valid - 1).astype(jnp.float32)
+                att = acc + ((n_valid - 1) < k_eff)
+                acc_w = 0.9 * acc_w + acc
+                att_w = 0.9 * att_w + att
             # write the k+1 candidate slots at the current offset; slots
             # past n_valid are overwritten by the next round (or sliced
             # off by the caller)
             out_buf = jax.lax.dynamic_update_slice(out_buf, toks, (n_out,))
             token = jax.lax.dynamic_slice(toks, (n_valid - 1,), (1,))
             return (n_out + n_valid, pos + n_valid, out_buf, token,
-                    cache_t, cache_d, key, rounds + 1)
+                    cache_t, cache_d, key, rounds + 1, acc_w, att_w)
 
-        n_out, pos, out_buf, _, cache_t, cache_d, _, rounds = \
-            jax.lax.while_loop(
+        # optimistic prior (alpha_hat ~ 0.8) so the first rounds run
+        # near full depth and the estimator converges from above
+        n_out, pos, out_buf, _, cache_t, cache_d, _, rounds, acc_w, att_w \
+            = jax.lax.while_loop(
                 cond, body,
                 (jnp.int32(0), pos, out_buf, token, cache_t, cache_d, key,
-                 jnp.int32(0)),
+                 jnp.int32(0), jnp.float32(4.0), jnp.float32(5.0)),
             )
+        if adaptive_k:
+            k_fin, alpha_hat = _controller(acc_w, att_w)
+            # extras BEFORE the caches: the jit wrappers below strip the
+            # trailing caches positionally (donation aliasing), and
+            # callers index out[0..3] the same in every mode
+            return (out_buf, n_out, rounds, pos, k_fin, alpha_hat,
+                    cache_t, cache_d)
         return out_buf, n_out, rounds, pos, cache_t, cache_d
 
     if shared_cache:
@@ -342,6 +447,8 @@ def speculative_generate(
     device_loop: bool = False,
     shared_cache: Optional[bool] = None,
     n_target: Optional[int] = None,
+    forced_alpha: Optional[float] = None,
+    adaptive_k: bool = False,
 ) -> Tuple[np.ndarray, dict]:
     """Returns (all tokens [T+new], stats).
 
@@ -352,7 +459,11 @@ def speculative_generate(
     default: on exactly when the params are shared (self-speculation).
     n_target (device_loop only): dynamically bound the generation to
     n_target < max_new_tokens WITHOUT recompiling — benches sweep
-    lengths through one executable."""
+    lengths through one executable.
+    forced_alpha: measurement harness — fixed acceptance rate instead
+    of the q/p rule (NOT exact; experiments/acceptance_study.py).
+    adaptive_k (device_loop + shared_cache): per-round speculation
+    depth from the observed acceptance (build_speculative_loop)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     shared_params = target_params is draft_params
@@ -397,12 +508,14 @@ def speculative_generate(
             temperature=temperature, top_k=top_k,
             target_sp=target_sp, draft_sp=draft_sp,
             shared_params=shared_params, shared_cache=shared_cache,
+            forced_alpha=forced_alpha, adaptive_k=adaptive_k,
         )
-        out_buf, n_out, rounds, _, *_ = run(
+        out = run(
             target_params, draft_params, cache_t, cache_d, cur, t,
             th_t, th_d, key,
             *(() if n_target is None else (n_target,)),
         )
+        out_buf, n_out, rounds = out[0], out[1], out[2]
         n = int(n_out)
         r = max(int(rounds), 1)
         new = [int(np.asarray(cur)[0])] + [
@@ -412,18 +525,25 @@ def speculative_generate(
         all_tokens = np.concatenate(
             [np.asarray(prompt)[0], np.asarray(new, np.int64)]
         )
-        return all_tokens, {
+        stats = {
             "accepted_per_step": [],
             "mean_accepted": (n - r) / r,
             "new_tokens": len(new),
             "rounds": r,
         }
+        if adaptive_k:
+            stats["k_eff_final"] = int(out[4])
+            stats["alpha_hat_final"] = float(out[5])
+        return all_tokens, stats
 
+    if adaptive_k:
+        raise ValueError("adaptive_k requires device_loop=True")
     step = build_speculative_step(
         target_cfg, draft_cfg, speculate_k=speculate_k,
         temperature=temperature, top_k=top_k,
         target_sp=target_sp, draft_sp=draft_sp,
         shared_params=shared_params, shared_cache=shared_cache,
+        forced_alpha=forced_alpha,
     )
 
     out = [int(np.asarray(cur)[0])]

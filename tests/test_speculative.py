@@ -285,3 +285,78 @@ def test_speculative_with_sparse_target(tiny):
     # identical (sparse) target and draft still accept everything
     assert stats["mean_accepted"] == 3.0
     assert stats["new_tokens"] >= 10
+
+
+def test_adaptive_k_lossless_greedy(tiny):
+    """Adaptive speculation depth must not change the output: skipped
+    draft steps are force-rejected and the zero-padded residual samples
+    the target exactly, so greedy output == plain greedy decode at any
+    k_eff trajectory the controller takes."""
+    cfg, params = tiny
+    from teal_tpu.config import SparsityConfig
+
+    prompt = np.array([3, 1, 4])
+    gen = Generator(cfg, params, max_seq=64, temperature=0.0)
+    ref, _ = gen.generate(prompt, 12)
+
+    draft_sp = SparsityConfig(enabled=True)
+    th = jnp.full((cfg.n_layers, 7), 0.08, jnp.float32)
+    toks, stats = speculative_generate(
+        params, params, cfg, cfg, prompt, 12,
+        speculate_k=4, temperature=0.0, max_seq=64,
+        cache_dtype=jnp.float32, draft_sp=draft_sp,
+        draft_thresholds=th, key=jax.random.PRNGKey(5),
+        device_loop=True, adaptive_k=True,
+    )
+    np.testing.assert_array_equal(ref[0][:3 + 12], toks[:3 + 12])
+    assert 0 <= stats["k_eff_final"] <= 4
+    assert 0.0 <= stats["alpha_hat_final"] <= 1.0
+
+
+def test_adaptive_k_controller_converges(tiny):
+    """forced_alpha harness: at high forced acceptance the controller
+    should run deep (k_eff near k), at near-zero acceptance it should
+    collapse to the bare-verify regime (k_eff <= 1)."""
+    cfg, params = tiny
+    from teal_tpu.config import SparsityConfig
+
+    draft_sp = SparsityConfig(enabled=True)
+    th = jnp.full((cfg.n_layers, 7), 0.08, jnp.float32)
+    kw = dict(speculate_k=6, temperature=1.0, max_seq=256,
+              cache_dtype=jnp.float32, draft_sp=draft_sp,
+              draft_thresholds=th, device_loop=True, adaptive_k=True,
+              key=jax.random.PRNGKey(2))
+    _, hi = speculative_generate(
+        params, params, cfg, cfg, [1, 2, 3], 120,
+        forced_alpha=0.97, **kw)
+    _, lo = speculative_generate(
+        params, params, cfg, cfg, [1, 2, 3], 60,
+        forced_alpha=0.02, **kw)
+    assert hi["k_eff_final"] >= 4, hi
+    assert lo["k_eff_final"] <= 1, lo
+    assert hi["alpha_hat_final"] > 0.8
+    assert lo["alpha_hat_final"] < 0.2
+    # low-acceptance regime still makes progress (>= 1 token/round)
+    assert lo["new_tokens"] >= 60
+
+
+def test_forced_alpha_acceptance_rate(tiny):
+    """The measurement harness must realize the forced acceptance rate
+    (mean accepted/k over many rounds ~ alpha at fixed k)."""
+    cfg, params = tiny
+    from teal_tpu.config import SparsityConfig
+
+    draft_sp = SparsityConfig(enabled=True)
+    th = jnp.full((cfg.n_layers, 7), 0.08, jnp.float32)
+    _, st = speculative_generate(
+        params, params, cfg, cfg, [1, 2, 3], 150,
+        speculate_k=4, temperature=1.0, max_seq=512,
+        cache_dtype=jnp.float32, draft_sp=draft_sp,
+        draft_thresholds=th, key=jax.random.PRNGKey(4),
+        device_loop=True, forced_alpha=0.7,
+    )
+    # E[accepted]/round at alpha=.7, k=4 is sum_{i=1..4} .7^i ~= 1.77
+    # (truncated geometric); the device-loop stat (n_out - rounds)/rounds
+    # is biased low by the end-of-generation cap, so tolerate a wide
+    # band — the point is ~alpha-level acceptance, not 1.0 or 0.34
+    assert 1.3 <= st["mean_accepted"] <= 2.3, st
