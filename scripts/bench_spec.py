@@ -34,8 +34,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-tiny", action="store_true",
                     help="smoke the harness on CPU with the tiny config")
-    ap.add_argument("--max-new", type=int, default=96)
-    ap.add_argument("--max-seq", type=int, default=256)
+    ap.add_argument("--max-new", type=int, default=384)
+    ap.add_argument("--max-seq", type=int, default=1024)
     ap.add_argument("--int8", action="store_true",
                     help="int8 weight-only self-speculation rows "
                          "(lossless over the int8-dense baseline: draft "
@@ -122,7 +122,8 @@ def main():
         one(args.max_new - 1, -1)     # warm: ONE trace + compile
         warm = time.time() - t0
         row = benchmod.spec_slope_row(one, k, args.max_new,
-                                      alphas=(0.5, 0.7, 0.85, 0.95))
+                                      alphas=(0.5, 0.7, 0.85, 0.95),
+                                      min_round_ms=0.6e3 / dense)
         row.update(name=name, temperature=temperature,
                    speedup_vs_dense=round(row["tok_s"] / dense, 3))
         if keep is not None:
