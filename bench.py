@@ -1137,16 +1137,11 @@ def _run_sweep(args, cfg, params, dense_sp, sparse_sp, tps_dense,
 def _elementwise_equiv(group_sparsity: float) -> float:
     """Map a uniform GROUP sparsity to the elementwise-TEAL sparsity with
     equal dropped activation energy on the reference's real shipped
-    channel statistics (docs/ACCURACY.md operating-point table). The
-    group rule drops more energy than the elementwise rule at the same
-    byte savings; an honest headline states both axes."""
-    pts = [(0.0, 0.0), (0.25, 0.66), (0.30, 0.715), (0.40, 0.785),
-           (0.50, 0.835), (1.0, 1.0)]
-    s = min(max(group_sparsity, 0.0), 1.0)
-    for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
-        if s <= x1:
-            return y0 + (y1 - y0) * (s - x0) / (x1 - x0)
-    return 1.0
+    channel statistics. Canonical curve lives in
+    teal_tpu/eval/accuracy_map.py (one source for bench, CLI and README
+    tables); an honest headline states both axes."""
+    from teal_tpu.eval.accuracy_map import elementwise_equiv
+    return elementwise_equiv(group_sparsity)
 
 
 def _emit(args, tps_dense, tps_sparse, sparse_mode, degraded,

@@ -508,6 +508,22 @@ def cmd_quantize(args):
     print(f"{args.mode} checkpoint written to {args.output_path}")
 
 
+def cmd_accuracy_map(args):
+    """One-command accuracy-frontier artifact: the operating-point map
+    (group %% <-> elementwise-equivalent <-> measured tok/s) merged with
+    the self-speculation acceptance study, from committed artifacts
+    (VERDICT r4 #9). Writes JSON (+ optional markdown to stdout)."""
+    from teal_tpu.eval.accuracy_map import build_accuracy_map, to_markdown
+
+    m = build_accuracy_map(root=args.root, bench_json=args.bench_json)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(m, f, indent=1)
+        print(f"accuracy map written to {args.out}", file=sys.stderr)
+    if args.markdown or not args.out:
+        print(to_markdown(m) if args.markdown else json.dumps(m))
+
+
 def cmd_convert(args):
     import jax.numpy as jnp
 
@@ -673,6 +689,20 @@ def main(argv=None):
     q.add_argument("--text-file", default=None)
     q.add_argument("--dataset", default=None)
     q.set_defaults(fn=cmd_quantize)
+
+    am = sub.add_parser("accuracy-map",
+                        help="emit the accuracy-frontier operating-point "
+                             "map as one machine-readable artifact")
+    am.add_argument("--root", default=None,
+                    help="repo root holding docs/ + BENCH_r*.json "
+                         "(default: package parent)")
+    am.add_argument("--bench-json", default=None,
+                    help="driver bench JSON (default: newest BENCH_r*)")
+    am.add_argument("--out", default=None,
+                    help="write the JSON artifact here")
+    am.add_argument("--markdown", action="store_true",
+                    help="print the README table rendering")
+    am.set_defaults(fn=cmd_accuracy_map)
 
     v = sub.add_parser("convert")
     _common(v)

@@ -104,3 +104,18 @@ def test_real_study_artifact_shape():
         assert {"keep", "alpha"} <= set(row)
         assert 0.0 < row["alpha"] <= 1.0
     assert study.get("validation"), "validation leg missing"
+
+
+def test_accuracy_map_builds_and_renders():
+    from teal_tpu.eval.accuracy_map import (build_accuracy_map,
+                                            elementwise_equiv, to_markdown)
+    assert abs(elementwise_equiv(0.5) - 0.835) < 1e-9
+    assert abs(elementwise_equiv(0.4) - 0.785) < 1e-9
+    assert elementwise_equiv(0.0) == 0.0 and elementwise_equiv(1.0) == 1.0
+    m = build_accuracy_map()
+    pts = {p["group_sparsity"]: p for p in m["operating_points"]}
+    assert set(pts) == {0.25, 0.40, 0.50}
+    md = to_markdown(m)
+    assert "group sparsity" in md and "0.50" in md
+    # bench delegation: one source of truth for the curve
+    assert benchmod._elementwise_equiv(0.5) == elementwise_equiv(0.5)
