@@ -85,9 +85,16 @@ def _fast_init_int8(cfg, dtype):
     layers = {}
     for k, s in shapes["layers"].items():
         if k in projs:
+            # per-out-channel scales: [L, N] for [L, K, N] stacks,
+            # [L, E, N] for MoE [L, E, K, N] expert stacks (the token
+            # kernel flattens them to per-pseudo-layer slabs,
+            # ops/token_block.token_decode). Router stays fp like the
+            # reference's gate (mixtral-moe/quantize.py).
+            scale_shape = (s.shape[:2] + s.shape[3:4] if len(s.shape) == 4
+                           else s.shape[:1] + s.shape[2:3])
             layers[k] = {"q": fill_int8(s.shape),
-                         "scale": jnp.full(s.shape[:1] + s.shape[2:3],
-                                           1e-3, jnp.float32)}
+                         "scale": jnp.full(scale_shape, 1e-3,
+                                           jnp.float32)}
         else:
             layers[k] = fill(s)
     lmh = shapes["lm_head"]
@@ -1023,8 +1030,11 @@ def _selfspec_row(cfg, params, max_seq, k=None, keep=None, max_new=384,
         row["study_alpha"] = round(alpha_s, 3)
         row["study_alpha_basis"] = basis
         # MEASURE at the study's alpha: forced acceptance + the
-        # adaptive-k controller (the production configuration)
-        forced = {"forced_alpha": alpha_s, "adaptive_k": True}
+        # adaptive-k controller (the production configuration). The
+        # controller's cost model gets the draft's real relative cost
+        # (~keep of a dense step plus fixed per-launch overhead).
+        forced = {"forced_alpha": alpha_s, "adaptive_k": True,
+                  "draft_cost_ratio": 0.9 * keep + 0.1}
         _retry_transient(lambda: timed(max_new - 1, -1, forced))
         frow = spec_slope_row(lambda n, r: timed(n, r, forced), k,
                               max_new, min_round_ms=min_round_ms)

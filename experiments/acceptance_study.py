@@ -292,31 +292,77 @@ def main():
             f"(n={v['n_measured']})")
 
     # ---- realized throughput at measured t_round ----
-    realized, recommended = [], None
+    # The chip shows multi-minute slow windows (2x device-speed swings),
+    # so single grid rows can be outliers in BOTH directions. Fit the
+    # physical cost model t_round(keep, k) = draft_ms(keep) * k +
+    # verify_ms robustly across ALL rows (shared verify intercept,
+    # per-keep draft slope; least absolute deviations via IRLS) and use
+    # the fit for the realized table; raw rows stay in the artifact.
+    realized, recommended, cost_fit = [], None, None
     rounds_path = (os.path.join(root, args.rounds)
                    if not os.path.isabs(args.rounds) else args.rounds)
     if os.path.exists(rounds_path):
         with open(rounds_path) as f:
             rounds = json.load(f)
         dense = args.dense_tok_s or rounds.get("dense_tok_s")
-        for r in rounds["rows"]:
-            if r.get("failed") or "keep" not in r:
-                continue
+        rows = [r for r in rounds["rows"]
+                if not r.get("failed") and "keep" in r]
+        fit_keeps = sorted({r["keep"] for r in rows}, reverse=True)
+        # the verify intercept is PHYSICALLY pinned: the dense verify
+        # streams every weight byte once (one full-capacity token-kernel
+        # pass ~= one dense decode step; 18.4 ms measured standalone in
+        # round 4). An unconstrained fit on noisy rows drives the
+        # intercept to ~0 and inflates every realized speedup, so clamp
+        # it to [0.85, 1.3] dense steps and fit only the slopes.
+        dense_step_ms = 1e3 / dense if dense else 19.0
+        A = np.zeros((len(rows), len(fit_keeps) + 1))
+        y = np.array([r["t_round_ms"] for r in rows], np.float64)
+        for i, r in enumerate(rows):
+            A[i, fit_keeps.index(r["keep"])] = r["k"]
+            A[i, -1] = 1.0
+        w = np.ones(len(rows))
+        for _ in range(30):                      # IRLS ~ L1
+            coef, *_ = np.linalg.lstsq(A * w[:, None], y * w, rcond=None)
+            resid = np.abs(A @ coef - y)
+            w = 1.0 / np.sqrt(np.maximum(resid, 1e-3))
+        verify_ms = float(np.clip(coef[-1], 0.85 * dense_step_ms,
+                                  1.3 * dense_step_ms))
+        draft_ms = {}
+        for kp in fit_keeps:
+            sl = [(r["t_round_ms"] - verify_ms) / r["k"]
+                  for r in rows if r["keep"] == kp]
+            draft_ms[kp] = max(float(np.median(sl)), 0.5)
+        pred = np.array([draft_ms[r["keep"]] * r["k"] + verify_ms
+                         for r in rows])
+        cost_fit = {"verify_ms": round(verify_ms, 1),
+                    "verify_bound": "clamped to [0.85,1.3] dense steps",
+                    "draft_ms_per_step": {str(kp): round(v, 2)
+                                          for kp, v in draft_ms.items()},
+                    "n_rows": len(rows),
+                    "median_abs_resid_ms": round(
+                        float(np.median(np.abs(pred - y))), 1)}
+        log(f"cost fit: verify {verify_ms:.1f} ms, draft/step "
+            + " ".join(f"keep{kp}={draft_ms[kp]:.1f}" for kp in fit_keeps)
+            + f", median |resid| {cost_fit['median_abs_resid_ms']} ms")
+        for keep in fit_keeps:
             arow = next((a for a in alpha_table
-                         if abs(a["keep"] - r["keep"]) < 1e-6), None)
+                         if abs(a["keep"] - keep) < 1e-6), None)
             if arow is None:
                 continue
-            for aname in ("alpha", "alpha_conservative"):
-                tpr = expected_tokens_per_round(arow[aname], r["k"])
-                tps = tpr / (r["t_round_ms"] / 1e3)
-                realized.append({
-                    "keep": r["keep"], "k": r["k"],
-                    "alpha_basis": aname, "alpha": arow[aname],
-                    "t_round_ms": r["t_round_ms"],
-                    "tok_s": round(tps, 1),
-                    "speedup_vs_dense":
-                        round(tps / dense, 3) if dense else None,
-                })
+            for k in sorted({r["k"] for r in rows}):
+                t_ms = draft_ms[keep] * k + verify_ms
+                for aname in ("alpha", "alpha_conservative"):
+                    tpr = expected_tokens_per_round(arow[aname], k)
+                    tps = tpr / (t_ms / 1e3)
+                    realized.append({
+                        "keep": keep, "k": k,
+                        "alpha_basis": aname, "alpha": arow[aname],
+                        "t_round_ms": round(t_ms, 1),
+                        "t_round_source": "cost_fit",
+                        "tok_s": round(tps, 1),
+                        "speedup_vs_dense":
+                            round(tps / dense, 3) if dense else None,
+                    })
         cand = [r for r in realized if r["alpha_basis"] == "alpha"]
         if cand:
             recommended = max(
@@ -344,6 +390,7 @@ def main():
         "alpha_table": alpha_table,
         "sensitivity": sens,
         "validation": validation,
+        "cost_fit": cost_fit,
         "realized": realized,
         "recommended": recommended,
         "caveats": [

@@ -449,6 +449,7 @@ def speculative_generate(
     n_target: Optional[int] = None,
     forced_alpha: Optional[float] = None,
     adaptive_k: bool = False,
+    draft_cost_ratio: float = 0.5,
 ) -> Tuple[np.ndarray, dict]:
     """Returns (all tokens [T+new], stats).
 
@@ -509,6 +510,7 @@ def speculative_generate(
             target_sp=target_sp, draft_sp=draft_sp,
             shared_params=shared_params, shared_cache=shared_cache,
             forced_alpha=forced_alpha, adaptive_k=adaptive_k,
+            draft_cost_ratio=draft_cost_ratio,
         )
         out = run(
             target_params, draft_params, cache_t, cache_d, cur, t,
