@@ -49,25 +49,35 @@ def run_engine(cfg, params, sp, args, chunk):
     def prompt(n):
         return rng.integers(1, cfg.vocab_size, n).tolist()
 
-    # mixed short/medium mix fills all slots
-    lens = [8, 8, 8, 16, 32, 64, 64][: args.slots - 1]
+    # mixed short/medium mix fills all but two slots (so both timed
+    # long admissions go straight into a free slot instead of queueing)
+    lens = [8, 8, 8, 16, 32, 64, 64][: args.slots - 2]
     for n in lens:
         eng.submit(prompt(n), args.max_new)
 
     step_times = []
-    long_submitted_at = None
-    # steady state first, then the long admission mid-run
-    while eng.has_work() or long_submitted_at is None:
-        if long_submitted_at is None and len(step_times) == args.warm_steps:
+    submissions = 0
+    second_at = None
+    # FIRST long admission warms/compiles the prefill(-chunk) programs;
+    # the SECOND is the measured one (the tunnel runtime's first
+    # compile of the s>1 chunk program costs seconds and would swamp
+    # the interference number)
+    while eng.has_work() or submissions < 2:
+        n = len(step_times)
+        if submissions == 0 and n == args.warm_steps:
             eng.submit(prompt(args.long), args.max_new)
-            long_submitted_at = len(step_times)
+            submissions = 1
+        elif submissions == 1 and n == 3 * args.warm_steps:
+            eng.submit(prompt(args.long), args.max_new)
+            submissions = 2
+            second_at = n
         t0 = time.perf_counter()
         eng.step()
         step_times.append(time.perf_counter() - t0)
         if len(step_times) > 2000:
             break
     total_tokens = sum(len(r.out) for r in eng.finished)
-    return np.asarray(step_times), long_submitted_at, total_tokens
+    return np.asarray(step_times), second_at, total_tokens
 
 
 def main():
@@ -113,7 +123,8 @@ def main():
     for name, chunk in (("chunked", args.chunk), ("oneshot", None)):
         with ictx():
             st, at, toks = run_engine(cfg, params, sp, args, chunk)
-        steady = st[2: args.warm_steps]          # post-warm, pre-admission
+        # steady median: fully-warm steps between the two admissions
+        steady = st[2 * args.warm_steps: 3 * args.warm_steps]
         med = float(np.median(steady)) if steady.size else float("nan")
         window = st[at: at + (args.long // (args.chunk or args.long) + 2)]
         worst = float(window.max()) if window.size else float("nan")

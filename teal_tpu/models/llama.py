@@ -419,11 +419,13 @@ def layer_forward(h, lp: Dict[str, jax.Array], kc, vc, pos, cos, sin,
     y = (None if (fold and cfg.n_experts == 0)
          else rms_norm(h, lp["mlp_norm"], cfg.norm_eps))
     if cfg.n_experts > 0:
-        # Mixtral MoE FFN (vanilla — not sparsity-integrated, matching the
-        # reference's mixtral-moe engine; SURVEY §2.3)
+        # Mixtral MoE FFN — round 5: TEAL-sparse expert gathers on the
+        # decode path (beyond the reference, whose mixtral-moe engine
+        # has no TEAL hooks; SURVEY §2.3). Prefill stays dense.
         from teal_tpu.models import moe
 
-        h = h + moe.moe_ffn(y, lp, cfg)
+        h = h + moe.moe_ffn(y, lp, cfg, sp=sp, th_gu=t["gate"],
+                            th_down=t["down"])
         caps = None
         if capture:
             # attention groups + the shared MoE FFN input (mlp h1).
@@ -668,13 +670,15 @@ def forward(params, tokens, cache: KVCache, pos, thresholds, *,
             gu_cap, dn_cap = (cap_(cfg.dim, kf[4]),
                               cap_(cfg.intermediate_size, kf[6]))
             if cfg.n_experts > 0:
-                # Mixtral: in-kernel routing + DENSE expert gather
-                # (full capacity — the reference's MoE engine is not
-                # sparsity-integrated either)
+                # Mixtral: in-kernel routing + TEAL-SPARSE expert
+                # gathers (round 5; beyond the reference, whose
+                # mixtral-moe engine has no TEAL hooks): gate/up keep
+                # kf[4] of the shared stream's groups, down kf[6] of
+                # each routed expert's intermediate — same caps as the
+                # dense-model path above; keep 1.0 degenerates to the
+                # old dense-expert behavior
                 moe_kw = dict(router=lay["router"],
                               n_experts_per_tok=cfg.n_experts_per_tok)
-                gu_cap, dn_cap = (cfg.dim // 128,
-                                  cfg.intermediate_size // 128)
             td_kw = dict(
                 caps=(cap_(cfg.dim, kf[0]), cap_(cfg.dim, kf[3]),
                       gu_cap, dn_cap),

@@ -49,11 +49,17 @@ def _mm(y, w, scale=None):
     return jnp.matmul(y, w, preferred_element_type=jnp.float32)
 
 
-def _expert_ffn(y, wg, wu, wd, sg=None, su=None, sd=None):
-    """SwiGLU through one expert's weights. y: [..., D]."""
+def _expert_ffn(y, wg, wu, wd, sg=None, su=None, sd=None,
+                inter_rule=None):
+    """SwiGLU through one expert's weights. y: [..., D]. `inter_rule`
+    optionally sparsifies the intermediate before the down projection
+    (per-expert — each routed expert's own intermediate is selected
+    independently, matching the token kernel's per-expert down stage)."""
     gate = _mm(y, wg, sg)
     up = _mm(y, wu, su)
     inter = (jax.nn.silu(gate) * up).astype(y.dtype)
+    if inter_rule is not None:
+        inter = inter_rule(inter)
     return _mm(inter, wd, sd).astype(y.dtype)
 
 
@@ -69,8 +75,17 @@ def _wq(leaf, idx=None):
     return (leaf if idx is None else leaf[idx]), None
 
 
-def moe_ffn(y, lp, cfg: ModelConfig):
-    """y: [B, S, D] -> [B, S, D]."""
+def moe_ffn(y, lp, cfg: ModelConfig, sp=None, th_gu=None, th_down=None):
+    """y: [B, S, D] -> [B, S, D].
+
+    sp/th_gu/th_down (round 5): TEAL-sparse experts on the DECODE path
+    — the group-selection twin of the token kernel's sparse expert
+    gathers (`ops/token_block.py` MoE branch): gate/up select on the
+    shared routed input with the mlp-h1 threshold (one kept set serves
+    every routed expert), down selects per expert on its intermediate
+    with the h2 threshold. Prefill stays dense (fast-engine semantics,
+    reference `kernels/sparse_gemv.py:271`). Beyond the reference:
+    mixtral-moe has no TEAL hooks (SURVEY §2.3)."""
     k = cfg.n_experts_per_tok
     router_logits = jnp.matmul(
         y, lp["router"], preferred_element_type=jnp.float32
@@ -85,14 +100,35 @@ def moe_ffn(y, lp, cfg: ModelConfig):
         # memory-bound case the reference's ConditionalFeedForward b==1
         # indexing covers, mixtral-moe/model.py:193-199, extended to the
         # engine's slot batch).
+        y_in = y[:, 0]
+        inter_rule = None
+        if sp is not None and sp.enabled and sp.kernel == "block":
+            from teal_tpu.ops.block_gemv import effective_block_size
+            from teal_tpu.ops.sparsify import sparsify_groups
+
+            thr = sp.block_thresholding
+            gd = effective_block_size(sp.block_size, d)
+            gi = effective_block_size(sp.block_size,
+                                      cfg.intermediate_size)
+            kf = sp.block_keep_fracs or (sp.block_keep_frac,) * 7
+            y_in = sparsify_groups(
+                y_in, gd, kf[4],
+                threshold=th_gu if thr else None)
+
+            def inter_rule(inter):
+                return sparsify_groups(
+                    inter, gi, kf[6],
+                    threshold=th_down if thr else None)
+
         idx = top_idx[:, 0]                           # [B, k]
         wg, sg = _wq(lp["wgate"], idx)                # [B, k, D, I]
         wu, su = _wq(lp["wup"], idx)
         wd, sd = _wq(lp["wdown"], idx)
         scales = () if sg is None else (sg, su, sd)
         outs = jax.vmap(jax.vmap(
-            _expert_ffn, in_axes=(None,) + (0,) * (3 + len(scales))
-        ))(y[:, 0], wg, wu, wd, *scales)              # [B, k, D]
+            lambda *a: _expert_ffn(*a, inter_rule=inter_rule),
+            in_axes=(None,) + (0,) * (3 + len(scales))
+        ))(y_in, wg, wu, wd, *scales)                 # [B, k, D]
         w8 = weights[:, 0][..., None].astype(y.dtype)  # [B, k, 1]
         return jnp.sum(outs * w8, axis=1)[:, None, :]
 

@@ -273,13 +273,20 @@ def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
 
     if moe:
         # --- MoE MLP (Mixtral): fold the mlp norm once, route on the
-        # VPU, then run each of the K_EXP routed experts densely
-        # (identity kept-set at full capacity) through the same stage
-        # machinery, combining with the softmax routing weights. The
-        # expert stacks are [L*E, K, N]; expert e of layer li is
-        # pseudo-layer li*E + e. Like the reference's Mixtral engine,
-        # the expert FFNs are not sparsified (mixtral-moe has no TEAL
-        # hooks); attention above IS. ---
+        # VPU, then run each of the K_EXP routed experts through the
+        # same capped-gather stage machinery, combining with the
+        # softmax routing weights. The expert stacks are [L*E, K, N];
+        # expert e of layer li is pseudo-layer li*E + e.
+        #
+        # Round 5: the expert FFNs are TEAL-SPARSE — BEYOND the
+        # reference, whose mixtral-moe engine has no TEAL hooks
+        # (SURVEY §2.3). gate/up select on the shared normalized
+        # stream with the mlp-h1 threshold (identical kept set for
+        # every routed expert — one rule, per-expert gathers); down
+        # selects per expert on its own intermediate with the h2
+        # threshold. caps==full + zero thresholds degenerate to the
+        # previous dense-expert behavior (the XLA twin is
+        # models/moe.py::moe_ffn with the same sparsify_groups rule).
         def fold(g_ref, gsem):
             _norm_fold(h3_s, nm_ref, xn3_s, g_ref, gsem, li_s,
                        nb=nbD, G=LANES, norm_eps=norm_eps)
@@ -289,7 +296,6 @@ def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
                       pltpu.SemaphoreType.DMA(()))
         _moe_route(li_s, xn3_s, router_ref, wbuf, eidx_s,
                    E=E, K_EXP=K_EXP, nbD=nbD)
-        zero = jnp.float32(0)
         for t in range(K_EXP):
             le_s[0] = li * E + eidx_s[t, 0]
 
@@ -305,13 +311,16 @@ def _token_kernel(thr_ref, pos_ref, x3_ref, cs_ref, *refs, L: int, D: int,
             # int8 MoE: the expert scale stacks are per-PSEUDO-layer
             # [(L*E)*nbs, 128] slabs, so le_s indexes weight gather and
             # scale slab consistently
-            _proj_stage(zero, le_s, xn3_s, write_gu, plan_groups[2],
+            _proj_stage(thr_ref[li, 4], le_s, xn3_s, write_gu,
+                        plan_groups[2],
                         w_groups[2], G=LANES, nb=nbD, cap=caps[2],
-                        depth=depths[2], fixed_sel=True,
+                        depth=depths[2], fixed_sel=fixed_sel,
                         scale_ref=s_refs[2])
-            _proj_stage(zero, le_s, inter3_s, write_down_weighted,
+            _proj_stage(thr_ref[li, 6], le_s, inter3_s,
+                        write_down_weighted,
                         plan_groups[3], w_groups[3], G=LANES, nb=nbI,
-                        cap=caps[3], depth=depths[3], fixed_sel=True,
+                        cap=caps[3], depth=depths[3],
+                        fixed_sel=fixed_sel,
                         scale_ref=s_refs[3])
     else:
         _proj_stage(thr_ref[li, 4], li_s, h3_s, write_gu, plan_groups[2],

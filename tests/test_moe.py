@@ -150,3 +150,43 @@ def test_moe_capture_and_calibrate(moe_tiny, tmp_path):
     mlp_keys = set(_np.load(os.path.join(mlp, "histograms.npz")).keys())
     assert {"h1", "h1_centers", "h2", "h2_centers"} <= attn_keys
     assert "h1" in mlp_keys and "h2" not in mlp_keys
+
+
+def test_moe_sparse_experts_kernel_matches_twin():
+    """Round 5: TEAL-sparse expert gathers (beyond the reference —
+    mixtral-moe has no TEAL hooks). The whole-token kernel's capped
+    expert stages (gate/up select on the shared stream with the mlp-h1
+    threshold; down per-expert on its intermediate with the h2
+    threshold) must match the XLA twin (moe.moe_ffn + sparsify_groups),
+    and the selection must actually DROP groups (differ from the
+    dense-expert output)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = get_model_config("tiny", n_layers=2, n_heads=2, n_kv_heads=2,
+                           dim=256, intermediate_size=384, vocab_size=128,
+                           n_experts=4, n_experts_per_tok=2)
+    params = llama.init_params(cfg, jax.random.PRNGKey(3), jnp.float32)
+    sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
+                        block_keep_frac=0.5, block_thresholding=True,
+                        fused_decode_attention=True)
+    th = llama.zero_thresholds(cfg)   # first-cap at keep: byte-exact 50%
+    tok = jnp.asarray([[7]], jnp.int32)
+
+    def run(s, fused):
+        cache = KVCache.init(cfg, 1, 16, jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            lg, _ = llama.forward(
+                params, tok, cache, 0, th, cfg=cfg,
+                sp=s.replace(token_fused=fused))
+        return np.asarray(lg)
+
+    got = run(sp, True)                    # token kernel, sparse experts
+    ref = run(sp, False)                   # XLA twin, same rule
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+    # comparator: attention still sparse at 0.5, experts DENSE — any
+    # difference is attributable to expert selection specifically
+    dense_exp = run(sp.replace(
+        block_keep_fracs=(0.5, 0.5, 0.5, 0.5, 1.0, 1.0, 1.0)), False)
+    assert np.abs(got - dense_exp).max() > 1e-4, \
+        "sparse-expert output identical to dense: selection not engaged"
