@@ -727,7 +727,8 @@ def main():
                                    n_short, n_long, batch=args.batch,
                                    start_pos=args.start_pos)
             log(f"dense:  {tps_dense:.2f} tok/s  "
-                f"({model_gb * tps_dense:.0f} GB/s effective)")
+                f"({model_gb * tps_dense / args.batch:.0f} GB/s "
+                "effective)")
         except Exception as e:
             log(f"dense phase FAILED: {type(e).__name__}: {str(e)[:300]}")
             degraded.append("dense")
@@ -756,8 +757,10 @@ def main():
                                         n_short, n_long, batch=args.batch,
                                         start_pos=args.start_pos)
                 sparse_mode = name
+                # weight bytes stream once per STEP, whatever the batch:
+                # effective bandwidth uses per-slot (not aggregate) tok/s
                 log(f"sparse [{name}]: {tps_sparse:.2f} tok/s  "
-                    f"({model_gb * (1 - args.sparsity) * tps_sparse:.0f} "
+                    f"({model_gb * (1 - args.sparsity) * tps_sparse / args.batch:.0f} "
                     "GB/s effective)")
                 break
             except Exception as e:

