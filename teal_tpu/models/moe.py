@@ -102,23 +102,31 @@ def moe_ffn(y, lp, cfg: ModelConfig, sp=None, th_gu=None, th_down=None):
         # engine's slot batch).
         y_in = y[:, 0]
         inter_rule = None
-        if sp is not None and sp.enabled and sp.kernel == "block":
+        if sp is not None and sp.enabled and (sp.kernel == "block"
+                                              or sp.mode == "group"):
             from teal_tpu.ops.block_gemv import effective_block_size
             from teal_tpu.ops.sparsify import sparsify_groups
 
-            thr = sp.block_thresholding
             gd = effective_block_size(sp.block_size, d)
             gi = effective_block_size(sp.block_size,
                                       cfg.intermediate_size)
             kf = sp.block_keep_fracs or (sp.block_keep_frac,) * 7
             y_in = sparsify_groups(
                 y_in, gd, kf[4],
-                threshold=th_gu if thr else None)
+                threshold=th_gu if sp.block_thresholding else None)
 
             def inter_rule(inter):
                 return sparsify_groups(
                     inter, gi, kf[6],
-                    threshold=th_down if thr else None)
+                    threshold=th_down if sp.block_thresholding else None)
+        elif sp is not None and sp.enabled:
+            # TEAL elementwise rule (accuracy path, mode="teal")
+            from teal_tpu.ops.sparsify import sparsify
+
+            y_in = sparsify(y_in, th_gu)
+
+            def inter_rule(inter):
+                return sparsify(inter, th_down)
 
         idx = top_idx[:, 0]                           # [B, k]
         wg, sg = _wq(lp["wgate"], idx)                # [B, k, D, I]
@@ -132,13 +140,27 @@ def moe_ffn(y, lp, cfg: ModelConfig, sp=None, th_gu=None, th_down=None):
         w8 = weights[:, 0][..., None].astype(y.dtype)  # [B, k, 1]
         return jnp.sum(outs * w8, axis=1)[:, None, :]
 
-    # prefill: run every expert, combine by routing weights
+    # prefill: run every expert, combine by routing weights. The
+    # accuracy path's prefill sparsification rule applies here exactly
+    # as for the dense model's projections (apply_sparsity: dense
+    # prefill unless sp.apply_prefill, then the last-half rule,
+    # reference utils/utils.py:34-43); routing always sees the dense y
+    y_eff, inter_rule = y, None
+    if sp is not None and sp.enabled:
+        from teal_tpu.ops.sparsify import apply_sparsity
+
+        y_eff = apply_sparsity(y, th_gu, sp)
+
+        def inter_rule(inter):
+            return apply_sparsity(inter, th_down, sp)
+
     wg, sg = _wq(lp["wgate"])
     wu, su = _wq(lp["wup"])
     wd, sd = _wq(lp["wdown"])
     scales = () if sg is None else (sg, su, sd)
     all_out = jax.vmap(
-        lambda g, u, dn, *sc: _expert_ffn(y, g, u, dn, *sc),
+        lambda g, u, dn, *sc: _expert_ffn(y_eff, g, u, dn, *sc,
+                                          inter_rule=inter_rule),
         in_axes=0, out_axes=0,
     )(wg, wu, wd, *scales)                            # [E, B, S, D]
     onehot = jax.nn.one_hot(top_idx, cfg.n_experts, dtype=jnp.float32)

@@ -190,3 +190,31 @@ def test_moe_sparse_experts_kernel_matches_twin():
         block_keep_fracs=(0.5, 0.5, 0.5, 0.5, 1.0, 1.0, 1.0)), False)
     assert np.abs(got - dense_exp).max() > 1e-4, \
         "sparse-expert output identical to dense: selection not engaged"
+
+
+def test_moe_prefill_sparsity_engages(moe_tiny):
+    """Round 5: the accuracy path's prefill rule reaches the MoE expert
+    FFNs (ppl of a sparse Mixtral is measurable): with apply_prefill,
+    group and teal modes must both change the logits vs dense, and with
+    apply_prefill=False the prefill must stay exactly dense."""
+    cfg, params = moe_tiny
+    tokens = jnp.arange(1, 17, dtype=jnp.int32)[None]
+    th = jnp.full((cfg.n_layers, 7), 0.05, jnp.float32)
+
+    def run(sp):
+        cache = KVCache.init(cfg, 1, 32, jnp.float32)
+        lg, _ = llama.forward(params, tokens, cache, 0, th, cfg=cfg,
+                              sp=sp, causal_prefill=True)
+        return np.asarray(lg)
+
+    dense = run(SparsityConfig(enabled=False))
+    for mode in ("group", "teal"):
+        on = run(SparsityConfig(enabled=True, mode=mode,
+                                apply_prefill=True))
+        assert np.abs(on - dense).max() > 1e-5, mode
+        # last-half rule: the FIRST half's positions stay dense-exact
+        np.testing.assert_allclose(on[:, :8], dense[:, :8],
+                                   atol=1e-5, err_msg=mode)
+    off = run(SparsityConfig(enabled=True, mode="group",
+                             apply_prefill=False))
+    np.testing.assert_allclose(off, dense, atol=1e-6)
