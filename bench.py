@@ -668,8 +668,12 @@ def main():
         # default ON for everything since round 5: int4 for the
         # poisoning failure class, and ALL weights because phases
         # interfere even when healthy (the selfspec t_round 94.7-vs-55.6
-        # ms device-state finding)
-        args.isolate = True
+        # ms device-state finding). A pinned single-phase / sweep /
+        # sparse-mode invocation (bisection scripts) stays in-process —
+        # the orchestrator only drives the standard phase set.
+        pinned = (args.phases != {"dense", "sparse"} or args.sweep
+                  or args.sparse_mode is not None)
+        args.isolate = not pinned
     if args.isolate:
         return _orchestrate(args)
 
