@@ -27,9 +27,13 @@ Self-speculation (`draft_params is target_params` with a sparse
 `draft_sp`): the draft is the SAME weights decoded through the
 block-sparse kernel and the target verifies densely. Speculative
 sampling guarantees the output distribution equals dense decoding
-exactly, so this converts TEAL sparsity into a LOSSLESS speedup whose
-magnitude scales with the sparse/dense agreement rate — no perplexity
-delta at any sparsity (tests/test_speculative.py exactness tests).
+exactly — no perplexity delta at any sparsity
+(tests/test_speculative.py exactness tests). Its SPEED is bounded by
+the draft/target acceptance rate: the round-5 calibrated study
+(docs/acceptance_study.json, docs/ACCURACY.md) puts the realized
+chain speedup at ~1.0x — a lossless FLOOR whose graceful low-alpha
+behavior the adaptive-k controller guarantees, not a headline
+multiplier.
 
 Shared-cache self-speculation (`shared_cache=True`, the default when
 params are shared): draft and target use ONE KV cache. The draft scan
